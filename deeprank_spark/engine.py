@@ -1,0 +1,83 @@
+"""High-level pipeline facade.
+
+`digest` = the reference's GraphMaker lifecycle (load -> parse -> edges ->
+rank, deepRank.py:237-406) as a set of named DataFrames; `flagship` = the
+reference's `print(gm)` outputs (keyphrases + summary + relations,
+deepRank.py:688-697) for EVERY conversation in one dataflow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import CraftParams
+from .operators.edges import (
+    edges_table,
+    graph_edges,
+    multi_edges_table,
+    noun_set_table,
+    svo_table,
+    tokens_table,
+    vertices_table,
+    w2l_sentence,
+)
+from .operators.extract import adjusted_ranks, keywords, scored_svos, summary
+from .operators.pagerank import pagerank_per_conv
+from .parse import parse_transcripts
+
+
+@dataclass
+class Digest:
+    parsed: DataFrame
+    tokens: DataFrame
+    w2l: DataFrame
+    noun_set: DataFrame
+    multi_edges: DataFrame
+    edges: DataFrame
+    gedges: DataFrame
+    vertices: DataFrame
+    svo: DataFrame
+
+
+def digest(transcripts: DataFrame, params: CraftParams | None = None) -> Digest:
+    p = params or CraftParams()
+    parsed = parse_transcripts(transcripts)
+    # the parse is the expensive stage — materialize it once for the
+    # multiple downstream consumers (edge gen, svo, extraction joins)
+    parsed = parsed.persist()
+    toks = tokens_table(parsed)
+    w2l = w2l_sentence(toks).persist()
+    nouns = noun_set_table(toks)
+    multi = multi_edges_table(parsed, w2l, nouns, p)
+    ed = edges_table(multi)
+    ged = graph_edges(ed)
+    verts = vertices_table(ged)
+    svo = svo_table(parsed, w2l, p)
+    return Digest(parsed, toks, w2l, nouns, multi, ed, ged, verts, svo)
+
+
+def ranks(d: Digest, params: CraftParams | None = None, pers: DataFrame | None = None) -> DataFrame:
+    p = params or CraftParams()
+    raw = pagerank_per_conv(
+        d.gedges, pers=pers, alpha=p.damping, tol=p.tol, max_iter=p.max_iter
+    )
+    return adjusted_ranks(raw, d.parsed)
+
+
+def flagship(
+    transcripts: DataFrame, params: CraftParams | None = None
+) -> dict[str, DataFrame]:
+    """keywords/summary/relations for every conversation."""
+    p = params or CraftParams()
+    d = digest(transcripts, p)
+    r = ranks(d, p).persist()
+    return {
+        "keywords": keywords(r, d.noun_set, params=p),
+        "summary": summary(r, d.parsed, params=p).orderBy("conv_id", "turn_idx"),
+        "relations": scored_svos(d.svo, r, params=p),
+        "ranks": r,
+        "digest": d,
+    }

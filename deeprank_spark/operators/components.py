@@ -1,0 +1,124 @@
+"""Connected components (hash-min label exchange).
+
+Reference anchor: the giant-component gate uses strongly connected components
+(/root/reference/textcrafts/deepRank.py:398-406). The north rule's kernel is
+weakly-connected components via hash-min over the undirected projection
+(delta vs the reference documented in SURVEY §2.9); component label = the
+minimum vertex key in the component, which makes outputs exactly comparable
+with the networkx oracle.
+
+Per-conversation path: union-find inside applyInPandas (one shuffle).
+Distributed path: superstep min-label exchange with localCheckpoint per
+round; converges in O(diameter) rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+_SEP = "\x00"
+
+PER_CONV_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("component", StringType(), False),
+    ]
+)
+
+
+def _union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    parent = np.arange(n)
+
+    def find(a: int) -> int:
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for s, d in zip(src, dst):
+        rs, rd = find(int(s)), find(int(d))
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return np.array([find(i) for i in range(n)])
+
+
+def components_per_conv(gedges: DataFrame) -> DataFrame:
+    """(conv_id, kind, key, component) with component = min node token
+    (kind+sep+key) of the weakly-connected component."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"conv_id": [], "kind": [], "key": [], "component": []}
+            )
+        conv = pdf["conv_id"].iloc[0]
+        skey = pdf["src_kind"].str.cat(pdf["src"], sep=_SEP)
+        dkey = pdf["dst_kind"].str.cat(pdf["dst"], sep=_SEP)
+        nodes, inv = np.unique(
+            np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
+        )
+        m = len(pdf)
+        roots = _union_find(len(nodes), inv[:m], inv[m:])
+        # representative = min node index in component == min token (np.unique sorts)
+        comp_token = nodes[roots]
+        kinds = [s.split(_SEP, 1)[0] for s in nodes]
+        keys = [s.split(_SEP, 1)[1] for s in nodes]
+        return pd.DataFrame(
+            {"conv_id": conv, "kind": kinds, "key": keys, "component": comp_token}
+        )
+
+    return gedges.groupBy("conv_id").applyInPandas(run, PER_CONV_SCHEMA)
+
+
+def components_distributed(
+    edges: DataFrame, id_cols: tuple = ("src", "dst"), max_iter: int = 100
+) -> DataFrame:
+    """Hash-min label exchange on one giant graph: label'(v) =
+    min(label(v), min over undirected neighbors). Returns (id, component)."""
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(sym, labels["id"] == sym["a"])
+            .groupBy(sym["b"].alias("id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr"), F.col("component")) < F.col("component")).alias(
+                    "chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        labels = new.select("id", "component")
+        if changed == 0:
+            break
+    return labels

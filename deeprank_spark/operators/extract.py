@@ -1,0 +1,167 @@
+"""Extraction layer: length-adjusted ranks, keywords, summary, SVO top-k.
+
+Relational re-expression of the reference's extraction stage
+(/root/reference/textcrafts/deepRank.py:414-599 + runPagerank adjustment
+:533-560). All top-k use the pinned deterministic total order
+(rank DESC, kind, order-key) — see oracle/textgraph.py docstring for the
+documented divergences from the reference's insertion-order ties.
+
+Every operator is a window/row_number over per-conversation partitions —
+Catalyst handles thousands-to-billions of conversations identically; no
+driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CraftParams
+from ..functions.predicates import (
+    is_clean_sent_col,
+    is_stop_col,
+    maybe_word_col,
+    node_order_key,
+)
+
+
+def sentence_lengths(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "conv_id", "sent_id", F.size("words").alias("sent_len")
+    )
+
+
+def adjusted_ranks(ranks: DataFrame, parsed: DataFrame) -> DataFrame:
+    """Sentence-length penalty (deepRank.py:34-39,546-556, corrected loop):
+    rank/(1 + log(1 + |len - avg_len|)) for sentence nodes."""
+    lens = sentence_lengths(parsed)
+    avg = lens.groupBy("conv_id").agg(F.avg("sent_len").alias("avg_len"))
+    sl = lens.join(avg, "conv_id").select(
+        "conv_id",
+        F.col("sent_id").cast("string").alias("key"),
+        F.lit("S").alias("kind"),
+        "sent_len",
+        "avg_len",
+    )
+    return (
+        ranks.join(sl, ["conv_id", "kind", "key"], "left")
+        .select(
+            "conv_id",
+            "kind",
+            "key",
+            F.when(
+                (F.col("kind") == "S") & F.col("sent_len").isNotNull(),
+                F.col("rank")
+                / (1.0 + F.log1p(F.abs(F.col("sent_len") - F.col("avg_len")))),
+            )
+            .otherwise(F.col("rank"))
+            .alias("rank"),
+        )
+    )
+
+
+def _topk(df: DataFrame, k: int, partition_cols=("conv_id",)) -> DataFrame:
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("rank"), F.col("kind"), node_order_key(F.col("kind"), F.col("key"))
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def keywords(
+    ranks_adj: DataFrame,
+    noun_set: DataFrame,
+    k: int | None = None,
+    params: CraftParams | None = None,
+    partition_cols=("conv_id",),
+) -> DataFrame:
+    """bestWords (deepRank.py:504-516): ranked word nodes passing maybeWord,
+    not stopwords, containing a noun from the document's noun_set."""
+    p = params or CraftParams()
+    k = k or p.word_count
+    cand = ranks_adj.where(
+        (F.col("kind") == "W")
+        & maybe_word_col(F.col("key"))
+        & ~is_stop_col(F.col("key"))
+    )
+    parts = cand.select(
+        *partition_cols, "key", F.explode(F.split("key", " ")).alias("lemma")
+    )
+    with_noun = parts.join(noun_set, ["conv_id", "lemma"], "leftsemi").select(
+        *partition_cols, "key"
+    ).distinct()
+    cand = cand.join(with_noun, [*partition_cols, "key"], "leftsemi")
+    return _topk(cand, k, partition_cols).select(
+        *partition_cols, F.col("key").alias("keyword"), "rank"
+    )
+
+
+def summary(
+    ranks_adj: DataFrame,
+    parsed: DataFrame,
+    k: int | None = None,
+    params: CraftParams | None = None,
+    partition_cols=("conv_id",),
+) -> DataFrame:
+    """bestSentences (deepRank.py:438-463): top-k clean sentences by rank,
+    returned with document-order sent ids (caller sorts by turn_idx)."""
+    p = params or CraftParams()
+    k = k or p.sent_count
+    sents = ranks_adj.where(F.col("kind") == "S").join(
+        parsed.select(
+            "conv_id",
+            F.col("sent_id").cast("string").alias("key"),
+            "lemmas",
+            F.concat_ws(" ", F.col("words")).alias("sent_text"),
+            "sent_id",
+        ),
+        ["conv_id", "key"],
+    )
+    clean = sents.where(is_clean_sent_col(F.col("lemmas")))
+    return _topk(clean, k, partition_cols).select(
+        *partition_cols,
+        F.col("sent_id").alias("turn_idx"),
+        F.col("sent_text"),
+        "rank",
+    )
+
+
+def scored_svos(
+    svo: DataFrame,
+    ranks_adj: DataFrame,
+    k: int | None = None,
+    params: CraftParams | None = None,
+    partition_cols=("conv_id",),
+) -> DataFrame:
+    """bestSVOs (deepRank.py:563-599, WordNet extension hook empty):
+    score = (2*rank(subj) + rank(obj)) / 3, distinct, top-k."""
+    p = params or CraftParams()
+    k = k or p.rel_count
+    rw = ranks_adj.where(F.col("kind") == "W")
+    rs = rw.select("conv_id", F.col("key").alias("subj"), F.col("rank").alias("srank"))
+    ro = rw.select("conv_id", F.col("key").alias("obj"), F.col("rank").alias("orank"))
+    scored = (
+        svo.join(rs, ["conv_id", "subj"])
+        .join(ro, ["conv_id", "obj"])
+        .where((F.col("srank") != 0) & (F.col("orank") != 0))
+        .select(
+            *partition_cols,
+            "subj",
+            "verb",
+            "obj",
+            "sent_id",
+            ((2.0 * F.col("srank") + F.col("orank")) / 3.0).alias("score"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("score"), "subj", "verb", "obj", "sent_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,127 @@
+"""Triangle counting (north-rule kernel, not in the reference).
+
+Undirected simple graph; per-vertex triangle counts + global total
+(each triangle counted once; global = sum/3 of per-vertex counts as in
+nx.triangles).
+
+Distributed path uses the degree-orientation method: orient every
+undirected edge from the (degree, id)-smaller endpoint to the larger, build
+wedges by self-joining oriented edges on their source, and close them with a
+semi-join — the orientation bounds every vertex's out-degree by O(sqrt(m)),
+which keeps the wedge join skew-safe on power-law graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SEP = "\x00"
+
+PER_CONV_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("key", StringType(), False),
+        StructField("tri_count", LongType(), False),
+    ]
+)
+
+
+def triangles_per_conv(gedges: DataFrame) -> DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"conv_id": [], "kind": [], "key": [], "tri_count": []})
+        conv = pdf["conv_id"].iloc[0]
+        skey = pdf["src_kind"].str.cat(pdf["src"], sep=_SEP)
+        dkey = pdf["dst_kind"].str.cat(pdf["dst"], sep=_SEP)
+        nodes, inv = np.unique(
+            np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
+        )
+        m = len(pdf)
+        a, b = inv[:m], inv[m:]
+        mask = a != b
+        lo = np.minimum(a[mask], b[mask])
+        hi = np.maximum(a[mask], b[mask])
+        und = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        n = len(nodes)
+        adj: list[set] = [set() for _ in range(n)]
+        for u, v in und:
+            adj[u].add(v)
+            adj[v].add(u)
+        tri = np.zeros(n, dtype=np.int64)
+        deg_order = sorted(range(n), key=lambda v: (len(adj[v]), v))
+        rank = {v: i for i, v in enumerate(deg_order)}
+        for u, v in und:
+            x, y = (u, v) if rank[u] < rank[v] else (v, u)
+            for w in adj[x]:
+                if rank[w] > rank[y] and w in adj[y]:
+                    tri[x] += 1
+                    tri[y] += 1
+                    tri[w] += 1
+        kinds = [s.split(_SEP, 1)[0] for s in nodes]
+        keys = [s.split(_SEP, 1)[1] for s in nodes]
+        return pd.DataFrame(
+            {"conv_id": conv, "kind": kinds, "key": keys, "tri_count": tri}
+        )
+
+    return gedges.groupBy("conv_id").applyInPandas(run, PER_CONV_SCHEMA)
+
+
+def triangles_distributed(
+    edges: DataFrame, id_cols: tuple = ("src", "dst")
+) -> DataFrame:
+    """Per-vertex triangle counts (id, tri_count) on one giant graph."""
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient from (deg, id)-smaller to larger
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+        .cache()
+    )
+    e1 = oriented.select(F.col("s"), F.col("d").alias("x"))
+    e2 = oriented.select(F.col("s"), F.col("d").alias("y"))
+    wedges = e1.join(e2, "s").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("s", "d").alias("x"), F.greatest("s", "d").alias("y")
+    ).distinct()
+    tris = wedges.join(closing, ["x", "y"])  # (s, x, y) = one triangle each
+    per_vertex = (
+        tris.select(F.explode(F.array("s", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    verts = deg.select("id")
+    return verts.join(per_vertex, "id", "left").select(
+        "id", F.coalesce("tri_count", F.lit(0)).alias("tri_count")
+    )

@@ -1,0 +1,119 @@
+"""Parse stage: transcripts -> `parsed` nested table (one Arrow UDF pass).
+
+This is the engine's only Python hot-path stage, mirroring the reference's
+external-parser boundary (CoreNLP HTTP per chunk, corenlp_api.py:20-34 —
+Spark partitioning replaces that manual chunking). Everything downstream is
+pure Catalyst.
+
+Output schema (fixed):
+
+    parsed(conv_id string, sent_id int,
+           words array<string>, lemmas array<string>, tags array<string>,
+           deps array<struct<fw,ftag,rel,tw,ttag>>)
+
+`sent_id` is the reference's positional sentence id; for transcripts it IS
+`turn_idx` (stable-ordering invariant), for the `documents` table it is the
+sentence index after deterministic sentence splitting.
+
+At 100 TB the parse is the dominant cost and is embarrassingly parallel:
+mapInPandas keeps it one pass, no shuffle, no driver involvement; the `text`
+column is read once and never mutated (per-turn equality invariant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .nlp.simple_parser import parse_turn, split_sentences
+
+DEP_STRUCT = StructType(
+    [
+        StructField("fw", StringType(), False),
+        StructField("ftag", StringType(), False),
+        StructField("rel", StringType(), False),
+        StructField("tw", StringType(), False),
+        StructField("ttag", StringType(), False),
+    ]
+)
+
+PARSED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("sent_id", IntegerType(), False),
+        StructField("words", ArrayType(StringType(), False), False),
+        StructField("lemmas", ArrayType(StringType(), False), False),
+        StructField("tags", ArrayType(StringType(), False), False),
+        StructField("deps", ArrayType(DEP_STRUCT, False), False),
+    ]
+)
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("conv_id", "sent_id", "words", "lemmas", "tags", "deps")}
+        for conv_id, sent_id, text in zip(pdf["conv_id"], pdf["sent_id"], pdf["text"]):
+            ps = parse_turn(text)
+            out["conv_id"].append(conv_id)
+            out["sent_id"].append(sent_id)
+            out["words"].append(ps.words)
+            out["lemmas"].append(ps.lemmas)
+            out["tags"].append(ps.tags)
+            out["deps"].append(
+                [
+                    {"fw": f[0], "ftag": f[1], "rel": r, "tw": t[0], "ttag": t[1]}
+                    for (f, r, t) in ps.deps
+                ]
+            )
+        yield pd.DataFrame(out)
+
+
+def parse_transcripts(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, ..., text) -> parsed."""
+    src = transcripts.select(
+        "conv_id", F.col("turn_idx").cast("int").alias("sent_id"), "text"
+    )
+    return src.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+
+
+def documents_as_transcripts(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text) -> transcripts shape: one sentence per turn.
+
+    Sentence splitting is a Catalyst expression (split on terminal
+    punctuation + whitespace), so only the per-sentence parse is Python.
+    """
+    sents = documents.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.split(F.col("text"), r"(?<=[.!?])\s+"),
+                    lambda s: F.trim(s),
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("turn_idx", "text"),
+    )
+    return sents.select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def split_sentences_py(text: str) -> list[str]:
+    """Driver-side helper kept in sync with the Catalyst splitter."""
+    return split_sentences(text)
