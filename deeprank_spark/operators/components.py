@@ -14,13 +14,26 @@ round; converges in O(diameter) rounds.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-_SEP = "\x00"
+
+def _parquet_reset(df: DataFrame, tag: str, step: int) -> DataFrame:
+    """Round-trip iterative state through parquet: truncates lineage AND
+    resets Catalyst size stats (localCheckpoint inherits the parent's
+    sizeInBytes, which compounds exponentially when the state feeds two
+    joins per iteration — see pagerank.py)."""
+    path = os.path.join(tempfile.mkdtemp(prefix=f"deeprank_{tag}_"), f"s{step}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+_SEP = ""  # kind is a single char; token = kind + key parses positionally
 
 PER_CONV_SCHEMA = StructType(
     [
@@ -60,8 +73,8 @@ def components_per_conv(gedges: DataFrame) -> DataFrame:
                 {"conv_id": [], "kind": [], "key": [], "component": []}
             )
         conv = pdf["conv_id"].iloc[0]
-        skey = pdf["src_kind"].str.cat(pdf["src"], sep=_SEP)
-        dkey = pdf["dst_kind"].str.cat(pdf["dst"], sep=_SEP)
+        skey = pdf["src_kind"].astype(str) + pdf["src"].astype(str)
+        dkey = pdf["dst_kind"].astype(str) + pdf["dst"].astype(str)
         nodes, inv = np.unique(
             np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
         )
@@ -69,8 +82,8 @@ def components_per_conv(gedges: DataFrame) -> DataFrame:
         roots = _union_find(len(nodes), inv[:m], inv[m:])
         # representative = min node index in component == min token (np.unique sorts)
         comp_token = nodes[roots]
-        kinds = [s.split(_SEP, 1)[0] for s in nodes]
-        keys = [s.split(_SEP, 1)[1] for s in nodes]
+        kinds = [s[0] for s in nodes]
+        keys = [s[1:] for s in nodes]
         return pd.DataFrame(
             {"conv_id": conv, "kind": kinds, "key": keys, "component": comp_token}
         )
@@ -98,7 +111,7 @@ def components_distributed(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             labels.join(sym, labels["id"] == sym["a"])
             .groupBy(sym["b"].alias("id"))
@@ -119,6 +132,8 @@ def components_distributed(
         )
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         labels = new.select("id", "component")
+        if (it + 1) % 5 == 0:
+            labels = _parquet_reset(labels, "cc", it)
         if changed == 0:
             break
     return labels

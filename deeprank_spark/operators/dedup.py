@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (which dedups only edge tuples); these are the
+first-class corpus-level operators a 100 TB text pipeline needs. All are
+pure Catalyst expressions — hash-based, no Python UDFs — so they scale as
+ordinary shuffles:
+
+- exact_duplicates: md5(normalized text) groupBy. One shuffle on a 32-byte
+  key; at 100 TB the groupBy is the textbook map-side-combine aggregation.
+- minhash_signatures / minhash_lsh_pairs: shingle -> k independent min-hashes
+  (md5 with per-hash salt; min over VARCHAR hex is engine-portable and
+  deterministic) -> bands -> candidate pairs via band-bucket self-join.
+  The band join is the only quadratic-risk step and is bounded per bucket.
+- ngram_jaccard_pairs: exact Jaccard over character shingles for candidate
+  verification (explode + pair-count / union-count).
+- simhash64: 64-bit SimHash from token md5 bits (bit-vote via explode +
+  aggregate on bit positions) with hamming_distance helper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(c) -> F.Column:
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    -> (text_hash, n_docs, doc_ids array) for groups with n_docs > 1."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("text_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def char_shingles(text_col, k: int = 8) -> F.Column:
+    """Distinct k-character shingles of the normalized text (array column)."""
+    t = normalized_text(text_col)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """-> (doc_id, sig array<string>): sig[j] = min over shingles of
+    md5(j || shingle). Hex-string min is deterministic and identical across
+    engines (DuckDB oracle parity)."""
+    sh = docs.select(
+        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    return sh.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    bands must divide num_hashes; rows_per_band = num_hashes // bands.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over char shingles for all pairs sharing at
+    least one shingle (or restricted to `candidates(id_a, id_b)`).
+
+    -> (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    ).select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
+    b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
+    return inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Each token hashes to 64 bits (first 16 hex chars of md5); bit b votes
+    +1/-1; the sign vector packs into a signed 64-bit fingerprint.
+    -> (doc_id, simhash long)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = toks.select(
+        "id", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h60")
+    )
+    # 60 usable bits (15 hex chars avoids signed-overflow in conv); vote per bit
+    bits = h.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda b: F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1)),
+            )
+        ).alias("bit", "v"),
+    )
+    votes = bits.groupBy("id", "bit").agg(
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(-1)).alias("vote")
+    )
+    packed = votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(0)
+        ).alias("simhash")
+    )
+    return packed.select(F.col("id").alias(id_col), "simhash")
+
+
+def hamming_distance(a, b) -> F.Column:
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    block_bits: int = 15,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block on 4 15-bit chunks (pigeonhole:
+    any pair within hamming<=3 of 60 bits shares at least one of 4 chunks),
+    verify hamming distance exactly."""
+    s = simhash64(docs, id_col, text_col)
+    blocks = s.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.shiftright(F.col("simhash"), c * block_bits).bitwiseAND(
+                    F.lit((1 << block_bits) - 1)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = blocks.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = blocks.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance("ha", "hb").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

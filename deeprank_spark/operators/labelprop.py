@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-_SEP = "\x00"
+_SEP = ""  # kind is a single char; token = kind + key parses positionally
 
 PER_CONV_SCHEMA = StructType(
     [
@@ -63,15 +63,15 @@ def lpa_per_conv(gedges: DataFrame, max_iter: int = 20) -> DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"conv_id": [], "kind": [], "key": [], "label": []})
         conv = pdf["conv_id"].iloc[0]
-        skey = pdf["src_kind"].str.cat(pdf["src"], sep=_SEP)
-        dkey = pdf["dst_kind"].str.cat(pdf["dst"], sep=_SEP)
+        skey = pdf["src_kind"].astype(str) + pdf["src"].astype(str)
+        dkey = pdf["dst_kind"].astype(str) + pdf["dst"].astype(str)
         nodes, inv = np.unique(
             np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
         )
         m = len(pdf)
         labels = _lpa_numpy(len(nodes), inv[:m], inv[m:], max_iter)
-        kinds = [s.split(_SEP, 1)[0] for s in nodes]
-        keys = [s.split(_SEP, 1)[1] for s in nodes]
+        kinds = [s[0] for s in nodes]
+        keys = [s[1:] for s in nodes]
         return pd.DataFrame(
             {"conv_id": conv, "kind": kinds, "key": keys, "label": nodes[labels]}
         )
@@ -100,7 +100,9 @@ def lpa_distributed(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    from .components import _parquet_reset
+
+    for it in range(max_iter):
         hist = (
             labels.join(sym, labels["id"] == sym["a"])
             .groupBy(sym["b"].alias("id"), F.col("label"))
@@ -124,6 +126,8 @@ def lpa_distributed(
         )
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         labels = new.select("id", "label")
+        if (it + 1) % 5 == 0:
+            labels = _parquet_reset(labels, "lpa", it)
         if changed == 0:
             break
     return labels

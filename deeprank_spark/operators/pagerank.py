@@ -31,8 +31,8 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
-from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
@@ -54,7 +54,7 @@ PER_CONV_SCHEMA = StructType(
     ]
 )
 
-_SEP = "\x00"
+_SEP = ""  # kind is a single char; token = kind + key parses positionally
 
 
 def _power_iteration(
@@ -92,8 +92,8 @@ def _conv_pagerank_pdf(
     if len(edges_pdf) == 0:
         return pd.DataFrame({"conv_id": [], "kind": [], "key": [], "rank": []})
     conv = edges_pdf["conv_id"].iloc[0]
-    skey = edges_pdf["src_kind"].str.cat(edges_pdf["src"], sep=_SEP)
-    dkey = edges_pdf["dst_kind"].str.cat(edges_pdf["dst"], sep=_SEP)
+    skey = edges_pdf["src_kind"].astype(str) + edges_pdf["src"].astype(str)
+    dkey = edges_pdf["dst_kind"].astype(str) + edges_pdf["dst"].astype(str)
     nodes, inv = np.unique(
         np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
     )
@@ -103,7 +103,7 @@ def _conv_pagerank_pdf(
 
     p = np.full(n, 1.0 / n, dtype=np.float64)
     if pers_pdf is not None and len(pers_pdf) > 0:
-        pk = pers_pdf["kind"].str.cat(pers_pdf["key"], sep=_SEP).to_numpy()
+        pk = (pers_pdf["kind"].astype(str) + pers_pdf["key"].astype(str)).to_numpy()
         pos = np.searchsorted(nodes, pk)
         ok = (pos < n) & (nodes[np.minimum(pos, n - 1)] == pk)
         w = pers_pdf["weight"].to_numpy(dtype=np.float64)
@@ -113,8 +113,8 @@ def _conv_pagerank_pdf(
             p = pv / pv.sum()
 
     x = _power_iteration(src_idx, dst_idx, n, p, alpha, tol, max_iter)
-    kinds = np.array([s.split(_SEP, 1)[0] for s in nodes])
-    keys = np.array([s.split(_SEP, 1)[1] for s in nodes])
+    kinds = np.array([s[0] for s in nodes])
+    keys = np.array([s[1:] for s in nodes])
     return pd.DataFrame(
         {"conv_id": conv, "kind": kinds, "key": keys, "rank": x}
     )
@@ -241,9 +241,8 @@ def pagerank_distributed(
         e.join(outdeg, "src")
         .select("src", "dst", F.col("deg").cast("double").alias("deg"))
         .repartition(P, "src")
-        .cache()
+        .localCheckpoint(eager=True)  # sever lineage: static for all supersteps
     )
-    edges_deg.count()  # materialize
 
     # personalization vector (restricted to vertices, renormalized)
     if pers is not None:
@@ -262,16 +261,24 @@ def pagerank_distributed(
         pvec.join(outdeg.select(F.col("src").alias("id"), "deg"), "id", "left")
         .select("id", "p", F.col("deg").isNull().alias("dangling"))
         .repartition(P, "id")
-        .cache()
+        .localCheckpoint(eager=True)
     )
 
-    ckpt_base = None
+    # Superstep state MUST be round-tripped through parquet periodically:
+    # localCheckpoint truncates the plan but the resulting LogicalRDD
+    # inherits the parent plan's sizeInBytes estimate, and with the state
+    # referenced twice per superstep that estimate compounds exponentially
+    # (Catalyst's size-only stats visitor ends up multiplying thousand-digit
+    # BigInts and the driver melts). Re-reading the written checkpoint
+    # resets stats to the real file size — so the durable checkpoint IS the
+    # stats/lineage reset, which is why it's always on (tempdir if the
+    # caller gave no checkpoint_dir).
+    durable = checkpoint_dir is not None
+    ckpt_base = os.path.join(checkpoint_dir or tempfile.mkdtemp(prefix="deeprank_pr_"), run_id)
+    os.makedirs(ckpt_base, exist_ok=True)
     start_step = 0
     state = None
-    if checkpoint_dir:
-        ckpt_base = os.path.join(checkpoint_dir, run_id)
-        os.makedirs(ckpt_base, exist_ok=True)
-    if resume and ckpt_base:
+    if resume and durable:
         done = _completed_supersteps(ckpt_base)
         if done:
             start_step = max(done)
@@ -339,8 +346,10 @@ def pagerank_distributed(
         wall_ms = (time.time() - it0) * 1000.0
         deltas.append({"superstep": step, "l1_delta": err, "wall_ms": wall_ms})
 
-        if ckpt_base and (step % checkpoint_interval == 0 or err < n * tol):
-            _write_superstep(state, ckpt_base, step, wall_ms)
+        if step % checkpoint_interval == 0 or err < n * tol:
+            state = _write_superstep(
+                state, ckpt_base, step, wall_ms, P, durable=durable
+            )
         if err < n * tol:
             converged = True
             break
@@ -350,14 +359,28 @@ def pagerank_distributed(
     return PageRankRun(state, step, deltas, time.time() - t0, converged)
 
 
-def _write_superstep(state: DataFrame, ckpt_base: str, step: int, wall_ms: float):
+def _write_superstep(
+    state: DataFrame,
+    ckpt_base: str,
+    step: int,
+    wall_ms: float,
+    num_partitions: int,
+    durable: bool,
+) -> DataFrame:
+    """Write superstep state to parquet and return the re-read DataFrame
+    (fresh lineage + realistic stats). Durable runs also append the
+    per-partition lineage table and a _DONE marker."""
     path = os.path.join(ckpt_base, f"superstep={step}")
     state.write.mode("overwrite").parquet(path)
-    _lineage_rows(state, step, wall_ms).write.mode("append").parquet(
-        os.path.join(ckpt_base, "lineage")
+    if durable:
+        _lineage_rows(state, step, wall_ms).write.mode("append").parquet(
+            os.path.join(ckpt_base, "lineage")
+        )
+        with open(os.path.join(ckpt_base, f"_DONE_{step}"), "w") as f:
+            json.dump({"superstep": step, "wall_ms": wall_ms}, f)
+    return (
+        state.sparkSession.read.parquet(path).repartition(num_partitions, "id")
     )
-    with open(os.path.join(ckpt_base, f"_DONE_{step}"), "w") as f:
-        json.dump({"superstep": step, "wall_ms": wall_ms}, f)
 
 
 def _completed_supersteps(ckpt_base: str) -> list:

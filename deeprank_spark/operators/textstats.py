@@ -1,0 +1,121 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions over a text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..wordlist import STOP_WORDS
+
+_STOPS = sorted(STOP_WORDS)
+
+# tiny deterministic language profiles: characteristic high-frequency words
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def tokens_col(text) -> F.Column:
+    """Whitespace+punct tokenization as an expression (BPE-ish regex split)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, n_chars, avg_token_len)."""
+    t = tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(t), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-marker language ID: score = fraction of tokens in each
+    language's marker list; argmax with 'und' fallback when all zero.
+    -> (doc_id, lang_pred, lang_score)."""
+    t = tokens_col(F.col(text_col)).alias("toks")
+    base = docs.select(F.col(id_col), t)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = (
+            F.size(F.filter(F.col("toks"), lambda x: x.isin(markers)))
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double")
+        ).alias(f"s_{lang}")
+        scores.append(s)
+    scored = base.select(id_col, *scores)
+    structs = F.array(
+        *[
+            F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
+            for lang in _LANG_MARKERS
+        ]
+    )
+    best = F.array_max(structs)
+    return scored.select(
+        id_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0,1]:
+    length band, punctuation ratio, stopword ratio, alpha ratio.
+    -> (doc_id, n_tokens, punct_ratio, stop_ratio, alpha_ratio, quality)."""
+    txt = F.col(text_col)
+    t = tokens_col(txt)
+    n_tok = F.size(t)
+    n_chars = F.greatest(F.length(txt), F.lit(1))
+    punct = (
+        F.length(F.regexp_replace(txt, r"[^.,;:!?()\[\]\"']", "")) / n_chars.cast("double")
+    )
+    alpha = (
+        F.length(F.regexp_replace(txt, r"[^A-Za-z]", "")) / n_chars.cast("double")
+    )
+    stops = (
+        F.size(F.filter(t, lambda x: x.isin(_STOPS)))
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    len_band = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(
+        F.when(n_tok > 0, 0.5).otherwise(0.0)
+    )
+    quality = (
+        0.4 * len_band
+        + 0.2 * F.least(F.lit(1.0), stops * 4.0)
+        + 0.2 * alpha
+        + 0.2 * (1.0 - F.least(F.lit(1.0), punct * 5.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stops, 6).alias("stop_ratio"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rolling/content-defined fingerprint: xor of shingle hashes — stable
+    under shingle reordering, order-insensitive content signature.
+    -> (doc_id, fp string)."""
+    from .dedup import char_shingles
+
+    sh = char_shingles(F.col(text_col), 8)
+    fp = F.aggregate(
+        F.transform(sh, lambda s: F.xxhash64(s)),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc.bitwiseXOR(h),
+    )
+    return docs.select(F.col(id_col), F.conv(F.format_string("%d", fp), 10, 16).alias("fp"))

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-_SEP = "\x00"
+_SEP = ""  # kind is a single char; token = kind + key parses positionally
 
 PER_CONV_SCHEMA = StructType(
     [
@@ -36,8 +36,8 @@ def triangles_per_conv(gedges: DataFrame) -> DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame({"conv_id": [], "kind": [], "key": [], "tri_count": []})
         conv = pdf["conv_id"].iloc[0]
-        skey = pdf["src_kind"].str.cat(pdf["src"], sep=_SEP)
-        dkey = pdf["dst_kind"].str.cat(pdf["dst"], sep=_SEP)
+        skey = pdf["src_kind"].astype(str) + pdf["src"].astype(str)
+        dkey = pdf["dst_kind"].astype(str) + pdf["dst"].astype(str)
         nodes, inv = np.unique(
             np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
         )
@@ -62,8 +62,8 @@ def triangles_per_conv(gedges: DataFrame) -> DataFrame:
                     tri[x] += 1
                     tri[y] += 1
                     tri[w] += 1
-        kinds = [s.split(_SEP, 1)[0] for s in nodes]
-        keys = [s.split(_SEP, 1)[1] for s in nodes]
+        kinds = [s[0] for s in nodes]
+        keys = [s[1:] for s in nodes]
         return pd.DataFrame(
             {"conv_id": conv, "kind": kinds, "key": keys, "tri_count": tri}
         )

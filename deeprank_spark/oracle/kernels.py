@@ -12,9 +12,12 @@ The Spark kernels must match:
 from __future__ import annotations
 
 import networkx as nx
+from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
 
 
 def pagerank_nx(edges, pers=None, alpha=0.85, tol=1.0e-6, max_iter=100) -> dict:
+    # nx.pagerank dispatches to scipy (not installed here); the documented
+    # pure-Python implementation has identical published semantics.
     g = nx.DiGraph()
     for (s, d) in edges:
         g.add_edge(s, d)
@@ -24,7 +27,9 @@ def pagerank_nx(edges, pers=None, alpha=0.85, tol=1.0e-6, max_iter=100) -> dict:
         pers = {k: v for k, v in pers.items() if k in g}
         if sum(pers.values()) <= 0:
             pers = None
-    return nx.pagerank(g, alpha=alpha, personalization=pers, tol=tol, max_iter=max_iter)
+    return _pagerank_python(
+        g, alpha=alpha, personalization=pers, tol=tol, max_iter=max_iter
+    )
 
 
 def components_nx(edges, nodes=()) -> dict:

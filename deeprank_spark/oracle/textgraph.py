@@ -175,12 +175,11 @@ def pagerank(
     g = nx_graph(dg)
     if g.number_of_nodes() == 0:
         return {}
-    eff_pers = pers
-    if pers is not None:
-        overlap = {k: v for k, v in pers.items() if k in g}
-        eff_pers = overlap if sum(overlap.values()) > 0 else None
-    d = nx.pagerank(g, alpha=p.damping, personalization=eff_pers,
-                    tol=p.tol, max_iter=p.max_iter)
+    from .kernels import pagerank_nx
+
+    d = pagerank_nx(
+        list(g.edges()), pers=pers, alpha=p.damping, tol=p.tol, max_iter=p.max_iter
+    )
     lens = [len(ps.words) for ps in dg.parsed]
     avg = sum(lens) / len(lens) if lens else 0.0
     for k in range(len(dg.parsed)):

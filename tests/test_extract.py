@@ -1,0 +1,72 @@
+"""Extraction layer (keywords / summary / SVO / adjusted ranks) vs oracle."""
+
+import math
+
+from deeprank_spark.config import CraftParams
+from deeprank_spark.engine import digest as spark_digest, flagship, ranks as spark_ranks
+from deeprank_spark.oracle import textgraph as otg
+from deeprank_spark.transcripts import small_transcripts, tiny_transcripts, transcripts_sdf
+
+ATOL = 1.0e-6
+
+
+def _oracle_per_conv(pdf, params):
+    out = {}
+    for conv, grp in pdf.groupby("conv_id"):
+        sents = list(grp.sort_values("turn_idx")["text"])
+        dg = otg.digest(sents, params)
+        r = otg.pagerank(dg, params)
+        out[conv] = (dg, r)
+    return out
+
+
+def test_adjusted_ranks_match(spark):
+    pdf = small_transcripts(n_convs=8)
+    params = CraftParams()
+    d = spark_digest(transcripts_sdf(spark, pdf), params)
+    got = {}
+    for r in spark_ranks(d, params).collect():
+        node = int(r["key"]) if r["kind"] == "S" else r["key"]
+        got[(r["conv_id"], r["kind"], r["key"])] = r["rank"]
+    for conv, (dg, exp) in _oracle_per_conv(pdf, params).items():
+        for node, er in exp.items():
+            k = ("S", str(node)) if isinstance(node, int) else ("W", node)
+            assert math.isclose(got[(conv, *k)], er, abs_tol=ATOL), (conv, node)
+
+
+def test_flagship_outputs_match_oracle(spark):
+    pdf = small_transcripts(n_convs=8)
+    params = CraftParams()
+    out = flagship(transcripts_sdf(spark, pdf), params)
+
+    kw = {}
+    for r in out["keywords"].collect():
+        kw.setdefault(r["conv_id"], []).append((-r["rank"], r["keyword"]))
+    kw = {c: [w for _, w in sorted(v)] for c, v in kw.items()}
+    summ = {}
+    for r in out["summary"].collect():
+        summ.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    svos = {}
+    for r in out["relations"].collect():
+        svos.setdefault(r["conv_id"], set()).add(
+            (r["subj"], r["verb"], r["obj"], r["sent_id"])
+        )
+
+    for conv, (dg, ranks) in _oracle_per_conv(pdf, params).items():
+        exp_kw = otg.best_words(dg, ranks, params.word_count)
+        # keywords come back as a set ordered by rank; compare as ordered lists
+        got_sorted = kw.get(conv, [])
+        assert got_sorted == exp_kw, (conv, got_sorted, exp_kw)
+
+        exp_summary = otg.best_sentences(dg, ranks, params.sent_count)
+        assert summ.get(conv, []) == exp_summary, conv
+
+        exp_svo = {tuple(e) for e in otg.best_svos(dg, ranks, params.rel_count)}
+        assert svos.get(conv, set()) == exp_svo, conv
+
+
+def test_flagship_tiny_sanity(spark):
+    out = flagship(transcripts_sdf(spark, tiny_transcripts()), CraftParams())
+    kw = out["keywords"].where("conv_id = 'c_cat'").collect()
+    words = {r["keyword"] for r in kw}
+    assert "cat" in words or "mat" in words

@@ -1,0 +1,100 @@
+"""CC / LPA / triangle kernels vs oracles — exact-match gates."""
+
+import random
+
+from deeprank_spark.config import CraftParams
+from deeprank_spark.engine import digest as spark_digest
+from deeprank_spark.oracle import textgraph as otg
+from deeprank_spark.oracle.kernels import components_nx, lpa_sync, triangles_nx
+from deeprank_spark.operators.components import (
+    components_distributed,
+    components_per_conv,
+)
+from deeprank_spark.operators.labelprop import lpa_distributed, lpa_per_conv
+from deeprank_spark.operators.triangles import (
+    triangles_distributed,
+    triangles_per_conv,
+)
+from deeprank_spark.transcripts import small_transcripts, transcripts_sdf
+
+
+def _enc(x):
+    return ("S" + str(x)) if isinstance(x, int) else ("W" + x)
+
+
+def _conv_graphs(pdf):
+    out = {}
+    for conv, grp in pdf.groupby("conv_id"):
+        sents = list(grp.sort_values("turn_idx")["text"])
+        g = otg.nx_graph(otg.digest(sents))
+        out[conv] = [(_enc(a), _enc(b)) for a, b in g.edges()]
+    return out
+
+
+def test_components_per_conv(spark):
+    pdf = small_transcripts(n_convs=8)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    got = {}
+    for r in components_per_conv(d.gedges).collect():
+        got[(r["conv_id"], r["kind"] + r["key"])] = r["component"]
+    for conv, edges in _conv_graphs(pdf).items():
+        exp = components_nx(edges)
+        for node, comp in exp.items():
+            assert got[(conv, node)] == comp, (conv, node)
+
+
+def test_lpa_per_conv(spark):
+    pdf = small_transcripts(n_convs=8)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    got = {}
+    for r in lpa_per_conv(d.gedges, max_iter=20).collect():
+        got[(r["conv_id"], r["kind"] + r["key"])] = r["label"]
+    for conv, edges in _conv_graphs(pdf).items():
+        exp = lpa_sync(edges, max_iter=20)
+        for node, lab in exp.items():
+            assert got[(conv, node)] == lab, (conv, node)
+
+
+def test_triangles_per_conv(spark):
+    pdf = small_transcripts(n_convs=8)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    got = {}
+    for r in triangles_per_conv(d.gedges).collect():
+        got[(r["conv_id"], r["kind"] + r["key"])] = r["tri_count"]
+    for conv, edges in _conv_graphs(pdf).items():
+        exp = triangles_nx(edges)
+        for node, c in exp.items():
+            assert got[(conv, node)] == c, (conv, node)
+
+
+def _random_edges(seed, n=50, m=140):
+    rng = random.Random(seed)
+    return sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_components_distributed(spark):
+    edges = _random_edges(5) + [(100, 101), (102, 102)]  # extra comp + self-loop
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in components_distributed(e).collect()}
+    exp = components_nx(edges)
+    assert got == exp
+
+
+def test_lpa_distributed(spark):
+    edges = _random_edges(6)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["label"] for r in lpa_distributed(e, max_iter=10).collect()}
+    exp = lpa_sync(edges, max_iter=10)
+    assert got == exp
+
+
+def test_triangles_distributed(spark):
+    edges = _random_edges(8, n=30, m=160)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["tri_count"] for r in triangles_distributed(e).collect()}
+    exp = triangles_nx(edges)
+    # vertices with no undirected edge (pure self-loop) are absent from got
+    for node, c in exp.items():
+        assert got.get(node, 0) == c, node
+    total_got = sum(got.values())
+    assert total_got == sum(exp.values())
