@@ -174,19 +174,22 @@ def simhash64(
     # 60 usable bits (15 hex chars avoids signed-overflow in conv); vote per bit
     bits = h.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(59)),
-                lambda b: F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1)),
-            )
-        ).alias("bit", "v"),
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("h60"),
+    ).select(
+        "id",
+        "bit",
+        F.expr("CAST(shiftright(h60, CAST(bit AS INT)) & 1 AS INT)").alias("v"),
     )
     votes = bits.groupBy("id", "bit").agg(
         F.sum(F.when(F.col("v") == 1, 1).otherwise(-1)).alias("vote")
     )
     packed = votes.groupBy("id").agg(
         F.sum(
-            F.when(F.col("vote") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit").cast("int"))).otherwise(0)
+            F.when(
+                F.col("vote") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
     return packed.select(F.col("id").alias(id_col), "simhash")
@@ -207,17 +210,18 @@ def simhash_near_pairs(
     any pair within hamming<=3 of 60 bits shares at least one of 4 chunks),
     verify hamming distance exactly."""
     s = simhash64(docs, id_col, text_col)
+    mask = (1 << block_bits) - 1
     blocks = s.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.shiftright(F.col("simhash"), c * block_bits).bitwiseAND(
-                    F.lit((1 << block_bits) - 1)
-                ),
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk_idx"),
+    ).select(
+        "id",
+        "simhash",
+        "chunk_idx",
+        F.expr(
+            f"shiftright(simhash, CAST(chunk_idx * {block_bits} AS INT)) & {mask}"
+        ).alias("chunk"),
     )
     a = blocks.select("chunk_idx", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = blocks.select("chunk_idx", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("hb"))

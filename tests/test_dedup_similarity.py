@@ -1,0 +1,194 @@
+"""Dedup / similarity / textstats / multimodal operators — semantics tests
+with brute-force python oracles on small synthetic corpora."""
+
+import hashlib
+import math
+import random
+
+import numpy as np
+import pytest
+
+from deeprank_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from deeprank_spark.operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from deeprank_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from deeprank_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _norm(t):
+    import re
+
+    return re.sub(r"\s+", " ", t).strip().lower()
+
+
+def _shingles(t, k=8):
+    t = _norm(t)
+    n = max(len(t) - k + 1, 1)
+    return {t[i : i + k] for i in range(n)}
+
+
+CORPUS = [
+    (1, "The quick brown fox jumps over the lazy dog."),
+    (2, "The quick brown fox jumps over the lazy dog."),  # exact dup of 1
+    (3, "The quick brown fox jumped over the lazy dogs."),  # near dup
+    (4, "A completely different document about spark engines."),
+    (5, "  the QUICK brown fox jumps over the lazy dog. "),  # normalized dup of 1
+    (6, "Ein ganz anderes Dokument und das ist nicht englisch."),
+]
+
+
+def test_exact_duplicates(spark):
+    got = exact_duplicates(_docs(spark, CORPUS)).collect()
+    assert len(got) == 1
+    assert sorted(got[0]["doc_ids"]) == [1, 2, 5]
+
+
+def test_minhash_signature_semantics(spark):
+    got = {r["doc_id"]: list(r["sig"]) for r in
+           minhash_signatures(_docs(spark, CORPUS), num_hashes=8).collect()}
+    # python oracle: min md5(f"{j}|{shingle}") per j
+    for doc_id, text in CORPUS:
+        sh = _shingles(text)
+        exp = [
+            min(hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh)
+            for j in range(8)
+        ]
+        assert got[doc_id] == exp, doc_id
+    assert got[1] == got[2] == got[5]
+
+
+def test_minhash_lsh_and_jaccard(spark):
+    docs = _docs(spark, CORPUS)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # near-dup caught by banding at rows=2
+    assert not any(4 in p or 6 in p for p in pairs)
+
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    a, b = _shingles(CORPUS[0][1]), _shingles(CORPUS[2][1])
+    exp = len(a & b) / len(a | b)
+    assert math.isclose(jac[(1, 3)], exp, rel_tol=1e-9)
+    assert math.isclose(jac[(1, 2)], 1.0)
+
+
+def test_simhash(spark):
+    docs = _docs(spark, CORPUS)
+    got = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert got[1] == got[2] == got[5]
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=60).collect()
+    }
+    assert near.get((1, 2)) == 0
+    # near-dup has small distance; different doc has larger
+    if (1, 3) in near and (1, 4) in near:
+        assert near[(1, 3)] < near[(1, 4)]
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = random.Random(0)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in vecs[:5]], "query_id long, embedding array<float>"
+    )
+    got = {}
+    for r in cosine_topk(corpus, queries, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rn"], r["vec_id"], r["cosine"]))
+
+    M = np.array([np.array(v, dtype=np.float32) for _, v in vecs], dtype=np.float64)
+    for qi in range(5):
+        q = M[qi]
+        cos = M @ q / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+        order = sorted((-c, i) for i, c in enumerate(cos) if i != qi)[:3]
+        exp = [i for _, i in order]
+        got_ids = [v for _, v, _ in sorted(got[qi])]
+        assert got_ids == exp, (qi, got_ids, exp)
+        for (rn, vid, c) in got[qi]:
+            assert math.isclose(c, cos[vid], rel_tol=1e-6)
+
+
+def test_ann_lsh_recall(spark):
+    rng = random.Random(1)
+    # clustered vectors so LSH buckets are meaningful
+    centers = [np.array([rng.uniform(-1, 1) for _ in range(16)]) for _ in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [float(x + rng.gauss(0, 0.05)) for x in c]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:4]], "query_id long, embedding array<float>"
+    )
+    exact = {}
+    for r in cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ann_topk_lsh(corpus, queries, k=5, num_planes=4).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # same-cluster vectors should dominate both; require recall >= 3/5
+    for q in exact:
+        assert len(exact[q] & approx.get(q, set())) >= 3, q
+
+
+def test_textstats(spark):
+    docs = _docs(spark, CORPUS)
+    tc = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert tc[1]["n_tokens"] == 9
+    assert tc[1]["n_chars"] == len(CORPUS[0][1])
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[6] == "de"
+
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 <= q[1]["quality"] <= 1.0
+    assert q[1]["stop_ratio"] > 0
+
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["decode_ok"] == "ok"
+        assert len(r["feature"]) == 8
+    # deterministic
+    feats2 = {r["media_id"]: list(r["feature"]) for r in extract_features(media).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == list(r["feature"])
+    plan = frame_sample_plan(media, every_ms=5000).collect()
+    assert len(plan) > 0
+    from deeprank_spark.operators.multimodal import decode_strict
+
+    with pytest.raises(NotImplementedError):
+        decode_strict(b"xx")
