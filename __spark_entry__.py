@@ -1,38 +1,688 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
+over the sf0.001 documents corpus.
+
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops). SQL-expressible ops carry a DuckDB
+oracle; the text-graph pipeline ops (dr_*) and full-convergence kernels are
+pytest-verified against networkx/pure-python oracles (tests/) and appear
+here as rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TURN_TOKENS = 12  # documents are unpunctuated word streams; chunk into turns
+PR_ITERS = 3
+LPA_ITERS = 2
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents -> transcripts shape: fixed-size token chunks as turns."""
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(TURN_TOKENS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * TURN_TOKENS + 1, TURN_TOKENS)
+        ),
+    )
+    return docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.posexplode(chunks).alias("turn_idx", "text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph construction shared by the kernel queries (SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed customer -> supplier(+1e6) edges from orders x lineitem."""
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.select("src", "dst").union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+_SYM_SQL = (
+    f"WITH e AS ({_EDGES_SQL}) "
+    "SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e"
+)
+
+
+def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected supplier pairs sharing a part (u < v)."""
+    l = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    a = l.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
+    b = l.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
+    return a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+
+
+_COSUP_SQL = (
+    "SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+    "FROM lineitem a JOIN lineitem b "
+    "ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey"
+)
+
+
+# ---------------------------------------------------------------------------
+# kernel queries (SQL-mirrored, fixed iteration counts)
+# ---------------------------------------------------------------------------
+
+
+def q_g_degree(spark, sf_dir):
+    return (
+        _sym(_bipartite_edges(spark, sf_dir))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def q_g_pagerank(spark, sf_dir):
+    """3 unrolled PageRank iterations on the symmetric graph (no dangling),
+    x0 uniform, d=0.85; ROUND(.,8) pins float comparability with DuckDB."""
+    sym0 = _sym(_bipartite_edges(spark, sf_dir))
+    deg = sym0.groupBy("src").agg(F.count("*").alias("deg"))
+    sym = (
+        sym0.join(deg, "src")
+        .select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("deg").alias("e_deg"),
+        )
+        .localCheckpoint(eager=True)  # sever lineage: avoids self-join
+        # ambiguity and per-iteration stats compounding (see pagerank.py)
+    )
+    n = sym.select("e_src").distinct().count()
+    x = sym.select(F.col("e_src").alias("id")).distinct().select(
+        "id", F.lit(1.0 / n).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        x = (
+            x.join(sym, x["id"] == sym["e_src"])
+            .groupBy(F.col("e_dst").alias("nid"))
+            .agg(F.sum(F.col("rank") / F.col("e_deg")).alias("c"))
+            .select(
+                F.col("nid").alias("id"),
+                (F.lit(0.15 / n) + F.lit(0.85) * F.col("c")).alias("rank"),
+            )
+        )
+    return x.select("id", F.round("rank", 8).alias("pr"))
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        f"e AS ({_EDGES_SQL})",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "x0 AS (SELECT src AS id, 1.0/(SELECT n FROM nn) AS rank FROM deg)",
+    ]
+    prev = "x0"
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"x{i} AS (SELECT s.dst AS id, 0.15/(SELECT n FROM nn) + "
+            f"0.85*SUM(x.rank/d.deg) AS rank "
+            f"FROM {prev} x JOIN sym s ON x.id = s.src "
+            f"JOIN deg d ON d.src = x.id GROUP BY s.dst)"
+        )
+        prev = f"x{i}"
+    return f"WITH {', '.join(ctes)} SELECT id, ROUND(rank, 8) AS pr FROM {prev}"
+
+
+def q_g_components(spark, sf_dir):
+    from deeprank_spark.operators.components import components_distributed
+
+    return components_distributed(_bipartite_edges(spark, sf_dir))
+
+
+_CC_SQL = (
+    f"WITH RECURSIVE e AS ({_EDGES_SQL}), "
+    "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
+    "reach(a, b) AS ("
+    "  SELECT src, src FROM sym"
+    "  UNION"
+    "  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src"
+    ") "
+    "SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a"
+)
+
+
+def q_g_triangles(spark, sf_dir):
+    from deeprank_spark.operators.triangles import triangles_distributed
+
+    pairs = _cosupplier_edges(spark, sf_dir)
+    return triangles_distributed(pairs, id_cols=("u", "v")).where(
+        F.col("tri_count") > 0
+    )
+
+
+_TRI_SQL = (
+    f"WITH pairs AS ({_COSUP_SQL}), "
+    "tri AS (SELECT p1.u AS a, p1.v AS b, p2.v AS c "
+    "        FROM pairs p1 JOIN pairs p2 ON p1.v = p2.u "
+    "        JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v) "
+    "SELECT id, COUNT(*) AS tri_count FROM ("
+    "  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"
+    ") GROUP BY id"
+)
+
+
+def q_g_lpa(spark, sf_dir):
+    from deeprank_spark.operators.labelprop import lpa_distributed
+
+    return lpa_distributed(_bipartite_edges(spark, sf_dir), max_iter=LPA_ITERS)
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        f"e AS ({_EDGES_SQL})",
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e)",
+        "l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)",
+    ]
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        ctes.append(
+            f"h{i} AS (SELECT s.dst AS id, l.label, COUNT(*) AS cnt "
+            f"FROM {prev} l JOIN sym s ON l.id = s.src GROUP BY s.dst, l.label)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT id, label FROM ("
+            f"SELECT id, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn FROM h{i}"
+            f") WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    return f"WITH {', '.join(ctes)} SELECT id, label FROM {prev}"
+
+
+def q_g_pagerank_full(spark, sf_dir):
+    """Full-convergence distributed PageRank (networkx semantics incl.
+    dangling mass; pytest-verified) — rows-only here (iterative float
+    fixpoint is not reasonably SQL-expressible)."""
+    from deeprank_spark.operators.pagerank import pagerank_distributed
+
+    run = pagerank_distributed(_bipartite_edges(spark, sf_dir))
+    return run.ranks.select("id", F.round("rank", 8).alias("pr"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from deeprank_spark.operators.dedup import exact_duplicates
+
+    d = exact_duplicates(_load(spark, sf_dir, "documents"))
+    return d.select("text_hash", "n_docs", F.to_json("doc_ids").alias("doc_ids"))
+
+
+_DEDUP_EXACT_SQL = (
+    "SELECT text_hash, n_docs, doc_ids FROM ("
+    "  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,"
+    "         COUNT(*) AS n_docs,"
+    "         to_json(list_sort(list(doc_id))) AS doc_ids"
+    "  FROM documents GROUP BY 1"
+    ") WHERE n_docs > 1"
+)
+
+
+def q_minhash_sig(spark, sf_dir):
+    from deeprank_spark.operators.dedup import minhash_signatures
+
+    s = minhash_signatures(_load(spark, sf_dir, "documents"), num_hashes=4)
+    return s.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("h0"),
+        F.element_at("sig", 2).alias("h1"),
+        F.element_at("sig", 3).alias("h2"),
+        F.element_at("sig", 4).alias("h3"),
+    )
+
+
+_MINHASH_SQL = (
+    "WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), "
+    "sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+    "  range(1, greatest(length(t) - 7, 1) + 1), i -> substr(t, CAST(i AS INT), 8)))) AS s FROM norm) "
+    "SELECT doc_id, "
+    " MIN(md5('0|' || s)) AS h0, MIN(md5('1|' || s)) AS h1, "
+    " MIN(md5('2|' || s)) AS h2, MIN(md5('3|' || s)) AS h3 "
+    "FROM sh GROUP BY doc_id"
+)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from deeprank_spark.operators.dedup import ngram_jaccard_pairs
+
+    p = ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), shingle_k=8, threshold=0.5
+    )
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_SQL = (
+    "WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), "
+    "sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+    "  range(1, greatest(length(t) - 7, 1) + 1), i -> substr(t, CAST(i AS INT), 8)))) AS s FROM norm), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common "
+    "          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "          GROUP BY 1, 2) "
+    "SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM ("
+    "  SELECT id_a, id_b, common / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard "
+    "  FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b"
+    ") WHERE jaccard >= 0.5"
+)
+
+
+def q_token_count(spark, sf_dir):
+    from deeprank_spark.operators.textstats import token_counts
+
+    return token_counts(_load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_chars"
+    )
+
+
+_TOKEN_SQL = (
+    "SELECT doc_id, "
+    " len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)) AS n_tokens, "
+    " length(text) AS n_chars "
+    "FROM documents"
+)
+
+
+def q_lang_id(spark, sf_dir):
+    from deeprank_spark.operators.textstats import language_id
+
+    li = language_id(_load(spark, sf_dir, "documents"))
+    return li.select("doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score"))
+
+
+def _lang_sql() -> str:
+    from deeprank_spark.operators.textstats import _LANG_MARKERS
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)"
+    parts = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) / "
+            f"CAST(greatest(len(toks), 1) AS DOUBLE) AS score FROM base"
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        f"WITH base AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"scores AS ({union}), "
+        "best AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn FROM scores) "
+        "SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred, "
+        "ROUND(score, 6) AS lang_score FROM best WHERE rn = 1"
+    )
+
+
+def q_quality(spark, sf_dir):
+    from deeprank_spark.operators.textstats import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    from deeprank_spark.wordlist import STOP_WORDS
+
+    stops = ", ".join(f"'{s}'" for s in sorted(STOP_WORDS) if "'" not in s)
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0)"
+    return (
+        f"WITH base AS (SELECT doc_id, text, {toks} AS toks FROM documents), "
+        "feat AS (SELECT doc_id, len(toks) AS n_tokens, "
+        " length(regexp_replace(text, '[^.,;:!?()\\[\\]\"'']', '', 'g')) / CAST(greatest(length(text),1) AS DOUBLE) AS punct, "
+        f" len(list_filter(toks, x -> list_contains([{stops}], x))) / CAST(greatest(len(toks),1) AS DOUBLE) AS stops, "
+        " length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(greatest(length(text),1) AS DOUBLE) AS alpha "
+        "FROM base) "
+        "SELECT doc_id, n_tokens, ROUND(punct, 6) AS punct_ratio, ROUND(stops, 6) AS stop_ratio, "
+        "ROUND(alpha, 6) AS alpha_ratio, "
+        "ROUND(0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END) "
+        " + 0.2 * least(1.0, stops * 4.0) + 0.2 * alpha + 0.2 * (1.0 - least(1.0, punct * 5.0)), 6) AS quality "
+        "FROM feat"
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    from deeprank_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
+
+
+_ANN_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id % 100 = 1), "
+    "scored AS (SELECT q.query_id, c.vec_id, "
+    "  list_dot_product(q.qv, c.embedding::DOUBLE[]) / "
+    "  (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cosine "
+    "  FROM q, embeddings c WHERE q.query_id <> c.vec_id), "
+    "ranked AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER "
+    "  (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn FROM scored) "
+    "SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rn FROM ranked WHERE rn <= 5"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (joins / aggs / windows / sets)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_orders(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_first_occurrence(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    f_orders = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_orders = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        c.join(f_orders, c["c_custkey"] == f_orders["o_custkey"], "leftsemi")
+        .join(o_orders, c["c_custkey"] == o_orders["o_custkey"], "leftanti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_vote_count(spark, sf_dir):
+    return (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_weighted_score(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_rollup_agg(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_length_penalty(spark, sf_dir):
+    """The reference's sentence-length penalty (deepRank.py:34-39) expressed
+    relationally over the documents table."""
+    d = _load(spark, sf_dir, "documents")
+    avg = d.agg(F.avg("n_chars").alias("avg_chars"))
+    return d.crossJoin(F.broadcast(avg)).select(
+        "doc_id",
+        F.round(
+            F.col("n_chars")
+            / (1.0 + F.log1p(F.abs(F.col("n_chars") - F.col("avg_chars")))),
+            6,
+        ).alias("len_score"),
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_ev_windowed(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    from deeprank_spark.streaming.events import windowed_event_counts
+
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+
+
+_EV_WIN_SQL = (
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_ev_sessionize(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    from deeprank_spark.streaming.events import sessionize
+
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+_EV_SESS_SQL = (
+    "WITH o AS (SELECT user_id, ts, value, "
+    "  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "       > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "       THEN 1 ELSE 0 END AS brk FROM events), "
+    "s AS (SELECT user_id, ts, value, SUM(brk) OVER "
+    "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM o) "
+    "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, "
+    "ROUND(SUM(value), 6) AS sum_value FROM s GROUP BY user_id, sess"
+)
+
+
+# ---------------------------------------------------------------------------
+# text-graph pipeline queries (pytest-verified; rows-only for the driver)
+# ---------------------------------------------------------------------------
+
+
+def _flagship_tables(spark, sf_dir):
+    from deeprank_spark.engine import flagship
+
+    docs = _load(spark, sf_dir, "documents")
+    return flagship(_docs_as_transcripts(docs))
+
+
+def q_dr_keywords(spark, sf_dir):
+    out = _flagship_tables(spark, sf_dir)
+    return out["keywords"].select(
+        "conv_id", "keyword", F.round("rank", 8).alias("rank")
+    )
+
+
+def q_dr_summary(spark, sf_dir):
+    out = _flagship_tables(spark, sf_dir)
+    return out["summary"].select("conv_id", "turn_idx", "sent_text")
+
+
+def q_dr_relations(spark, sf_dir):
+    out = _flagship_tables(spark, sf_dir)
+    return out["relations"].select(
+        "conv_id", "subj", "verb", "obj", "sent_id", F.round("score", 8).alias("score")
+    )
+
+
+def q_dr_components(spark, sf_dir):
+    from deeprank_spark.engine import digest
+    from deeprank_spark.operators.components import components_per_conv
+
+    d = digest(_docs_as_transcripts(_load(spark, sf_dir, "documents")))
+    return components_per_conv(d.gedges)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: digest sf0.001 documents, PageRank every conversation graph,
+    return the per-conversation summaries."""
+    return q_dr_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph kernels on relationally-built graphs (SQL-mirrored)
+        "g_degree": q_g_degree,
+        "g_pagerank3": q_g_pagerank,
+        "g_components": q_g_components,
+        "g_triangles": q_g_triangles,
+        "g_lpa2": q_g_lpa,
+        "g_pagerank_full": q_g_pagerank_full,  # rows-only (iterative fixpoint)
+        # dedup / text / similarity
+        "dedup_exact": q_dedup_exact,
+        "minhash_sig": q_minhash_sig,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "ann_cosine_topk": q_ann_cosine,
+        # relational operator coverage
+        "topk_orders": q_topk_orders,
+        "first_occurrence": q_first_occurrence,
+        "semi_anti_join": q_semi_anti,
+        "vote_count": q_vote_count,
+        "weighted_score": q_weighted_score,
+        "rollup_agg": q_rollup_agg,
+        "length_penalty": q_length_penalty,
+        "window_rank": q_window_rank,
+        "ev_windowed": q_ev_windowed,
+        "ev_sessionize": q_ev_sessionize,
+        # text-graph pipeline (pytest-verified vs networkx/pure-python oracle)
+        "dr_keywords": q_dr_keywords,
+        "dr_summary": q_dr_summary,
+        "dr_relations": q_dr_relations,
+        "dr_components": q_dr_components,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "g_degree": (
+            f"WITH sym AS ({_SYM_SQL}) "
+            "SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src"
+        ),
+        "g_pagerank3": _pagerank_sql(),
+        "g_components": _CC_SQL,
+        "g_triangles": _TRI_SQL,
+        "g_lpa2": _lpa_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "minhash_sig": _MINHASH_SQL,
+        "ngram_jaccard": _JACCARD_SQL,
+        "token_count": _TOKEN_SQL,
+        "lang_id": _lang_sql(),
+        "quality": _quality_sql(),
+        "ann_cosine_topk": _ANN_SQL,
+        "topk_orders": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "first_occurrence": (
+            "SELECT o_custkey, MIN(o_orderdate) AS first_order, "
+            "COUNT(*) AS n_orders FROM orders GROUP BY o_custkey"
+        ),
+        "semi_anti_join": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')"
+        ),
+        "vote_count": (
+            "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+        ),
+        "weighted_score": (
+            "SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) "
+            "AS revenue FROM lineitem GROUP BY l_suppkey"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "length_penalty": (
+            "SELECT doc_id, ROUND(n_chars / (1.0 + ln(1.0 + "
+            "abs(n_chars - (SELECT AVG(n_chars) FROM documents)))), 6) "
+            "AS len_score FROM documents"
+        ),
+        "window_rank": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER "
+            "  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "  FROM orders) WHERE rn <= 2"
+        ),
+        "ev_windowed": _EV_WIN_SQL,
+        "ev_sessionize": _EV_SESS_SQL,
+    }

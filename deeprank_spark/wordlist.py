@@ -70,7 +70,11 @@ _COMMON_EXTRA = (
     "law power state states united amendment removed remove elect elected "
     "vote impeachment trial court justice speed light mass energy relativity "
     "theory frame motion observer battery charge wheel door seat screen "
-    "manual vehicle drive press touch button"
+    "manual vehicle drive press touch button "
+    # vocabulary of the driver-provided synthetic documents corpus
+    "key agg row scan slow fast table value part hash merge batch line sort "
+    "window customer query big small order data column join group stream "
+    "filter spark supplier region nation"
 ).split()
 
 WORD_SET = frozenset(
