@@ -196,9 +196,10 @@ def pagerank_distributed(
     salt_buckets: int = 0,
     checkpoint_dir: str | None = None,
     run_id: str = "pr",
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int = 8,
     resume: bool = False,
     num_partitions: int | None = None,
+    verbose: bool = False,
 ) -> PageRankRun:
     """Superstep SpMV PageRank on one (possibly giant) graph.
 
@@ -221,7 +222,6 @@ def pagerank_distributed(
     t0 = time.time()
     src, dst = id_cols
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if vertices is None:
         vertices = (
@@ -229,20 +229,46 @@ def pagerank_distributed(
             .union(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    verts = vertices.select("id").repartition(P, "id").cache()
+    verts = vertices.select("id").cache()
     n = verts.count()
     if n == 0:
         return PageRankRun(
             verts.withColumn("rank", F.lit(0.0)), 0, [], 0.0, True
         )
 
+    # Partition count scales with graph size (at 10^12 edges the caller sets
+    # it explicitly; small graphs shouldn't pay 100-task supersteps). All
+    # superstep shuffles use P so state/contribs/base stay co-partitioned on
+    # the vertex id and the per-superstep joins are shuffle-free — the only
+    # shuffle each superstep is the contribution gather (groupBy id).
+    default_P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = num_partitions or max(4, min(default_P, n // 50_000 + 4))
+    saved_conf = {
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        # AQE coalescing would change shuffle partition counts mid-loop and
+        # defeat co-partitioning reuse across supersteps
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # renamed e_* columns: the superstep state's lineage contains this
+    # frame, so later joins against it are self-joins — name-based
+    # resolution on unique names sidesteps attribute-id ambiguity
     edges_deg = (
         e.join(outdeg, "src")
-        .select("src", "dst", F.col("deg").cast("double").alias("deg"))
-        .repartition(P, "src")
-        .localCheckpoint(eager=True)  # sever lineage: static for all supersteps
+        .select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("deg").cast("double").alias("e_deg"),
+        )
+        .repartition(P, "e_src")
+        .persist()
     )
+    edges_deg.count()  # materialize once; cached stats are then accurate
 
     # personalization vector (restricted to vertices, renormalized)
     if pers is not None:
@@ -261,20 +287,29 @@ def pagerank_distributed(
         pvec.join(outdeg.select(F.col("src").alias("id"), "deg"), "id", "left")
         .select("id", "p", F.col("deg").isNull().alias("dangling"))
         .repartition(P, "id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    base.count()
 
-    # Superstep state MUST be round-tripped through parquet periodically:
-    # localCheckpoint truncates the plan but the resulting LogicalRDD
-    # inherits the parent plan's sizeInBytes estimate, and with the state
-    # referenced twice per superstep that estimate compounds exponentially
-    # (Catalyst's size-only stats visitor ends up multiplying thousand-digit
-    # BigInts and the driver melts). Re-reading the written checkpoint
-    # resets stats to the real file size — so the durable checkpoint IS the
-    # stats/lineage reset, which is why it's always on (tempdir if the
-    # caller gave no checkpoint_dir).
+    # Superstep state management (measured, not guessed — see git history):
+    # each step eager-localCheckpoints the new state (constant logical-plan
+    # depth), BUT Spark's local checkpoint keeps the full RDD lineage as its
+    # recovery path — if the driver GC drops an old step's DataFrame, the
+    # ContextCleaner evicts its blocks and every later step silently
+    # recomputes a doubly-referenced chain (wall time doubles per step).
+    # So (a) strong references to every checkpointed state are held in
+    # `kept` between resets, and (b) every checkpoint_interval steps the
+    # state is round-tripped through parquet, which genuinely truncates
+    # lineage and lets the old blocks be freed. Non-durable runs round-trip
+    # through a tempdir; durable runs additionally write the per-partition
+    # lineage table + _DONE markers for resume.
     durable = checkpoint_dir is not None
-    ckpt_base = os.path.join(checkpoint_dir or tempfile.mkdtemp(prefix="deeprank_pr_"), run_id)
+    if not durable:
+        # RAM-backed tempdir when available: the non-durable round-trip is
+        # only a lineage truncation point, it doesn't need to survive
+        tmp_parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        checkpoint_dir = tempfile.mkdtemp(prefix="deeprank_pr_", dir=tmp_parent)
+    ckpt_base = os.path.join(checkpoint_dir, run_id)
     os.makedirs(ckpt_base, exist_ok=True)
     start_step = 0
     state = None
@@ -300,59 +335,80 @@ def pagerank_distributed(
     deltas = []
     converged = False
     step = start_step
-    while step < max_iter:
-        step += 1
-        it0 = time.time()
-        joined = state.join(edges_deg, state["id"] == edges_deg["src"])
-        contribs = joined.select(
-            edges_deg["dst"].alias("id"),
-            edges_deg["src"].alias("esrc"),
-            (F.col("rank") / F.col("deg")).alias("c"),
-        )
-        if salt_buckets > 1:
-            # explicit two-phase aggregation: pre-aggregate hub fan-in on
-            # (dst, hash(src) % B) before the final per-dst combine, so a
-            # power-law hub's contributions spread over B reducers.
-            contribs = (
-                contribs.withColumn(
-                    "salt", F.pmod(F.xxhash64("esrc"), F.lit(salt_buckets))
+    kept = []  # strong refs: keep checkpoint blocks alive between resets
+    try:
+        while step < max_iter:
+            step += 1
+            it0 = time.time()
+            joined = state.select(
+                F.col("id").alias("sid"), "rank"
+            ).join(edges_deg, F.col("sid") == F.col("e_src"))
+            contribs = joined.select(
+                F.col("e_dst").alias("id"),
+                F.col("e_src").alias("esrc"),
+                (F.col("rank") / F.col("e_deg")).alias("c"),
+            )
+            if salt_buckets > 1:
+                # explicit two-phase aggregation: pre-aggregate hub fan-in on
+                # (dst, hash(src) % B) before the final per-dst combine, so a
+                # power-law hub's contributions spread over B reducers.
+                contribs = (
+                    contribs.withColumn(
+                        "salt", F.pmod(F.xxhash64("esrc"), F.lit(salt_buckets))
+                    )
+                    .groupBy("id", "salt")
+                    .agg(F.sum("c").alias("c"))
                 )
-                .groupBy("id", "salt")
-                .agg(F.sum("c").alias("c"))
-            )
-        summed = contribs.groupBy("id").agg(F.sum("c").alias("c"))
+            summed = contribs.groupBy("id").agg(F.sum("c").alias("c"))
 
-        new_state = (
-            base.join(summed, "id", "left")
-            .join(state.withColumnRenamed("rank", "prev"), "id")
-            .select(
-                "id",
-                (
-                    F.lit(alpha)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm)) * F.col("p"))
-                    + F.lit(1.0 - alpha) * F.col("p")
-                ).alias("rank"),
-                F.col("prev"),
-                F.col("dangling"),
+            new_state = (
+                base.join(summed, "id", "left")
+                .join(state.select("id", F.col("rank").alias("prev")), "id")
+                .select(
+                    "id",
+                    (
+                        F.lit(alpha)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(float(dm)) * F.col("p"))
+                        + F.lit(1.0 - alpha) * F.col("p")
+                    ).alias("rank"),
+                    F.col("prev"),
+                    F.col("dangling"),
+                )
+                # EAGER local checkpoint: truncates logical plan AND rdd
+                # lineage at materialization (Spark 4 LogicalRDD stats
+                # don't compound, so no parquet round-trip needed). Eager
+                # matters: a lazy localCheckpoint materialized through a
+                # downstream action does NOT truncate lineage, so when the
+                # driver GC drops old step DataFrames their blocks vanish
+                # and later steps cascade-recompute from scratch.
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        row = new_state.agg(
-            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-        ).first()
-        err, dm = float(row["err"]), float(row["dm"] or 0.0)
-        state = new_state.select("id", "rank")
-        wall_ms = (time.time() - it0) * 1000.0
-        deltas.append({"superstep": step, "l1_delta": err, "wall_ms": wall_ms})
+            row = new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
+                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+            ).first()
+            err, dm = float(row["err"]), float(row["dm"] or 0.0)
+            kept.append(new_state)
+            state = new_state.select("id", "rank")
+            wall_ms = (time.time() - it0) * 1000.0
+            deltas.append({"superstep": step, "l1_delta": err, "wall_ms": wall_ms})
+            if verbose:
+                print(f"[pagerank] step={step} l1={err:.3e} wall_ms={wall_ms:.0f}", flush=True)
 
-        if step % checkpoint_interval == 0 or err < n * tol:
-            state = _write_superstep(
-                state, ckpt_base, step, wall_ms, P, durable=durable
-            )
-        if err < n * tol:
-            converged = True
-            break
+            if step % checkpoint_interval == 0 or err < n * tol:
+                state = _write_superstep(
+                    state, ckpt_base, step, wall_ms, P, durable=durable
+                )
+                kept.clear()  # parquet re-read is lineage-free: old blocks can go
+            if err < n * tol:
+                converged = True
+                break
+    finally:
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
+        edges_deg.unpersist()
+        base.unpersist()
+        verts.unpersist()
 
     if not converged:
         raise RuntimeError(f"pagerank_distributed: no convergence in {max_iter} supersteps")
@@ -367,9 +423,9 @@ def _write_superstep(
     num_partitions: int,
     durable: bool,
 ) -> DataFrame:
-    """Write superstep state to parquet and return the re-read DataFrame
-    (fresh lineage + realistic stats). Durable runs also append the
-    per-partition lineage table and a _DONE marker."""
+    """Parquet round-trip: the real lineage truncation point. Durable runs
+    also append the per-partition lineage table and a _DONE marker (resume
+    scans the markers)."""
     path = os.path.join(ckpt_base, f"superstep={step}")
     state.write.mode("overwrite").parquet(path)
     if durable:
@@ -378,8 +434,8 @@ def _write_superstep(
         )
         with open(os.path.join(ckpt_base, f"_DONE_{step}"), "w") as f:
             json.dump({"superstep": step, "wall_ms": wall_ms}, f)
-    return (
-        state.sparkSession.read.parquet(path).repartition(num_partitions, "id")
+    return state.sparkSession.read.parquet(path).repartition(
+        num_partitions, "id"
     )
 
 
