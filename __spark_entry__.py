@@ -312,6 +312,139 @@ _JACCARD_SQL = (
 )
 
 
+def q_minhash_lsh(spark, sf_dir):
+    from deeprank_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=8
+    )
+
+
+_MINHASH_LSH_SQL = (
+    "WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "  range(1, greatest(length(t) - 7, 1) + 1), i -> substr(t, CAST(i AS INT), 8))) AS shingles FROM norm), "
+    "sigs AS (SELECT doc_id, list_transform(range(0, 8), j -> "
+    "  list_min(list_transform(shingles, s -> md5(CAST(j AS VARCHAR) || '|' || s)))) AS sig FROM sh), "
+    "banded AS (SELECT doc_id, band, "
+    "  md5(array_to_string(list_slice(sig, CAST(band*2+1 AS INT), CAST(band*2+2 AS INT)), '|')) AS bucket "
+    "  FROM sigs, (SELECT UNNEST(range(0, 4)) AS band)) "
+    "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+    "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+    "AND a.doc_id < b.doc_id"
+)
+
+
+def q_simhash(spark, sf_dir):
+    from deeprank_spark.operators.dedup import simhash64
+
+    return simhash64(_load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SQL = (
+    "WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t FROM documents), "
+    "toks AS (SELECT doc_id, UNNEST(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS tok FROM norm), "
+    "h AS (SELECT doc_id, CAST(CAST('0x' || substr(md5(tok), 1, 15) AS UBIGINT) AS BIGINT) AS h60 FROM toks), "
+    "bits AS (SELECT doc_id, bit, CASE WHEN (h60 >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS v "
+    "  FROM h, (SELECT UNNEST(range(0, 60)) AS bit)), "
+    "votes AS (SELECT doc_id, bit, SUM(v) AS vote FROM bits GROUP BY doc_id, bit) "
+    "SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash "
+    "FROM votes GROUP BY doc_id"
+)
+
+
+def q_emb_cosine_pairs(spark, sf_dir):
+    from deeprank_spark.operators.similarity import cosine_near_pairs
+
+    p = cosine_near_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.4)
+    return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_EMB_PAIRS_SQL = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND("
+    "  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4"
+)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: xxhash64-derived
+    hyperplanes have no DuckDB equivalent; exactness of the rescoring is
+    covered by ann_cosine_topk and tests/test_dedup_similarity.py)."""
+    from deeprank_spark.operators.similarity import ann_topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_lsh(emb, queries, k=5, num_planes=6)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
+
+
+def q_cube_agg(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+_CUBE_SQL = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "ROUND(SUM(l_extendedprice), 2) AS sum_price FROM lineitem "
+    "GROUP BY CUBE (l_returnflag, l_linestatus)"
+)
+
+
+def q_mm_frame_plan(spark, sf_dir):
+    from deeprank_spark.operators.multimodal import frame_sample_plan, synthetic_media
+
+    return frame_sample_plan(synthetic_media(spark, n=100), every_ms=1000)
+
+
+_MM_FRAME_SQL = (
+    "WITH m AS (SELECT i AS media_id, "
+    "  CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+    "  CAST((i % 30) * 1000 + 1000 AS INT) AS duration_ms "
+    "  FROM (SELECT UNNEST(range(0, 100)) AS i)) "
+    "SELECT media_id, UNNEST(range(0, duration_ms + 1, 1000)) AS frame_ts_ms "
+    "FROM m WHERE kind = 'video'"
+)
+
+
+def q_mm_features(spark, sf_dir):
+    """Arrow-batched media feature extraction (rows-only: the deterministic
+    fake decode is numpy-side; plumbing/schema is what the check pins)."""
+    from deeprank_spark.operators.multimodal import extract_features, synthetic_media
+
+    f = extract_features(synthetic_media(spark, n=100))
+    return f.select(
+        "media_id", "decode_ok", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def q_dr_query_answers(spark, sf_dir):
+    """Entry-point-C personalized query answering (rows-only; semantics
+    pytest-verified against the pure-python oracle in tests/test_query.py)."""
+    from deeprank_spark.engine import digest
+    from deeprank_spark.operators.query import answer_queries
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    tr = _docs_as_transcripts(docs)
+    d = digest(tr)
+    queries = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("q_idx"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("text"),
+    )
+    return answer_queries(d.parsed, d.multi_edges, d.gedges, queries)
+
+
 def q_token_count(spark, sf_dir):
     from deeprank_spark.operators.textstats import token_counts
 
@@ -606,11 +739,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "emb_cosine_pairs": q_emb_cosine_pairs,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,  # rows-only (xxhash64 hyperplanes)
+        # multimodal plumbing
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,  # rows-only (numpy fake decode)
         # relational operator coverage
         "topk_orders": q_topk_orders,
         "first_occurrence": q_first_occurrence,
@@ -618,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vote_count": q_vote_count,
         "weighted_score": q_weighted_score,
         "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
         "length_penalty": q_length_penalty,
         "window_rank": q_window_rank,
         "ev_windowed": q_ev_windowed,
@@ -627,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr_summary": q_dr_summary,
         "dr_relations": q_dr_relations,
         "dr_components": q_dr_components,
+        "dr_query_answers": q_dr_query_answers,  # rows-only (entry point C)
     }
 
 
@@ -642,7 +784,12 @@ def oracle_sql() -> dict[str, str]:
         "g_lpa2": _lpa_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
+        "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "simhash": _SIMHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,
+        "emb_cosine_pairs": _EMB_PAIRS_SQL,
+        "mm_frame_plan": _MM_FRAME_SQL,
+        "cube_agg": _CUBE_SQL,
         "token_count": _TOKEN_SQL,
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),

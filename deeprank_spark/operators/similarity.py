@@ -71,6 +71,32 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. Brute-force O(n^2) baseline — the LSH-bucketed
+    variant (ann_topk_lsh's bucket join) is the scale path; at 100 TB you
+    block on LSH buckets first and verify with this exact score."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane_component(plane: int, dim_idx, seed: int) -> F.Column:
     """Deterministic pseudo-random component in [-1, 1): derived from
     xxhash64(plane, dim, seed) — reproducible across runs and engines with
