@@ -59,7 +59,7 @@ class EngineConfig:
     # Distributed-kernel knobs (scale path)
     shuffle_partitions: int = 32
     salt_buckets: int = 0          # 0 = rely on map-side combine; >0 = explicit 2-phase agg
-    checkpoint_interval: int = 5   # persist superstep state every N supersteps
+    checkpoint_interval: int = 8   # durable/reset superstep cadence (see pagerank.py)
     use_arrow: bool = True
 
 

@@ -1,0 +1,76 @@
+"""Catalog-agnostic table IO (Iceberg catalog or parquet paths).
+
+The north rule targets Iceberg tables of transcripts; this sandbox has no
+Iceberg runtime jar, so the engine is written against ONE seam: every
+read/write goes through this module, switched by config — `spark.read.
+table(name)` against an Iceberg catalog when DEEPRANK_CATALOG=iceberg
+(same schema, bucket layout and writer calls), `spark.read.parquet(path)`
+otherwise. Engine code and tests never branch.
+
+Layout decisions that matter at 10^12 turns:
+- transcripts partitioned/bucketed by hash of conv_id: a conversation's
+  turns are co-located, so the per-conv parse + graph build shuffles once
+  on conv_id and AQE coalesces the rest.
+- fact-table exports partitioned by bucket(conv_id) for the same reason;
+  Iceberg's hidden-partition `bucket(N, conv_id)` maps to an explicit
+  `pmod(xxhash64(conv_id), N)` column in the parquet fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPTS_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def use_iceberg() -> bool:
+    return os.environ.get("DEEPRANK_CATALOG", "parquet").lower() == "iceberg"
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    if use_iceberg():
+        return spark.read.table(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def write_table(
+    df: DataFrame,
+    name_or_path: str,
+    mode: str = "overwrite",
+    bucket_col: str | None = None,
+    num_buckets: int = 64,
+) -> None:
+    """Write with conversation co-location. Iceberg: writeTo + bucket
+    partition transform. Parquet: explicit bucket column partitioning."""
+    if use_iceberg():
+        w = df.writeTo(name_or_path)
+        if bucket_col is not None:
+            w = w.partitionedBy(F.bucket(num_buckets, F.col(bucket_col)))
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return
+    out = df
+    writer_partition = None
+    if bucket_col is not None:
+        out = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(num_buckets))
+        )
+        writer_partition = "bucket"
+    w = out.write.mode(mode)
+    if writer_partition:
+        w = w.partitionBy(writer_partition)
+    w.parquet(name_or_path)
+
+
+def read_transcripts(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """The engine's canonical input (input_hint schema, fixed order)."""
+    df = read_table(spark, name_or_path)
+    return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")

@@ -1,0 +1,103 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has no streaming (SURVEY §2.11); these are the stateful
+primitives a transcript/document FEED needs at 10^12-turn scale, where the
+window/session builtins don't fit:
+
+- first_seen_filter: exactly-once emission of new keys (streaming exact
+  dedup — e.g. text_hash of incoming documents). State per key is a single
+  marker; with watermark-based state TTL this is the bounded-state version
+  of `dropDuplicates` on an unbounded stream.
+- running_counts: per-key running totals emitted on every update (update
+  mode) — the streaming analog of groupBy().count() with retained state.
+
+Both work identically under `trigger(availableNow)` batch-replay and a live
+stream, and their state survives restarts via the checkpoint location.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FIRST_SEEN_OUT = StructType(
+    [
+        StructField("k", StringType(), False),
+        StructField("first_ts", TimestampType(), True),
+        StructField("n_in_batch", LongType(), False),
+    ]
+)
+_SEEN_STATE = StructType([StructField("seen", LongType(), False)])
+
+COUNT_OUT = StructType(
+    [
+        StructField("k", StringType(), False),
+        StructField("total", LongType(), False),
+    ]
+)
+_COUNT_STATE = StructType([StructField("total", LongType(), False)])
+
+
+def _first_seen_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    first_ts = None
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf) and "ts" in pdf.columns:
+            ts = pdf["ts"].min()
+            first_ts = ts if first_ts is None else min(first_ts, ts)
+    if state.exists:
+        return  # key already emitted in an earlier batch: drop duplicates
+    state.update((1,))
+    yield pd.DataFrame({"k": [key[0]], "first_ts": [first_ts], "n_in_batch": [n]})
+
+
+def first_seen_filter(stream: DataFrame, key_col: str = "k") -> DataFrame:
+    """Emit each key exactly once (first batch it appears in).
+
+    Input needs `key_col` (string) and optionally `ts`. Append-mode sink.
+    """
+    src = stream.select(
+        stream[key_col].alias("k"),
+        *(["ts"] if "ts" in stream.columns else []),
+    )
+    return src.groupBy("k").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_OUT,
+        stateStructType=_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _running_count_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n = sum(len(p) for p in pdfs)
+    total = (state.get[0] if state.exists else 0) + n
+    state.update((total,))
+    yield pd.DataFrame({"k": [key[0]], "total": [total]})
+
+
+def running_counts(stream: DataFrame, key_col: str = "k") -> DataFrame:
+    """Per-key running totals across the whole stream (update mode)."""
+    src = stream.select(stream[key_col].alias("k"))
+    return src.groupBy("k").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=COUNT_OUT,
+        stateStructType=_COUNT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
