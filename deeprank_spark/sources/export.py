@@ -17,8 +17,12 @@ column for a model UDF on a real cluster.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..engine import Digest
 from .tables import read_table, write_table
@@ -89,15 +93,41 @@ def export_fact_db(
         "keyword": keywords.select("conv_id", "keyword"),
     }
     sep = "_" if _is_table_name(base) else "/"
+    schemas = {}
     for name, df in rels.items():
         write_table(df, f"{base}{sep}{name}", bucket_col="conv_id",
                     num_buckets=num_buckets)
+        schemas[name] = df.schema.json()
+    if not _is_table_name(base):
+        # self-describing export: schemas survive even for relations that
+        # were empty at write time (Iceberg tables carry their own schema)
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, "_schemas.json"), "w") as f:
+            json.dump(schemas, f)
     return rels
 
 
 def read_fact_db(spark: SparkSession, base: str) -> dict[str, DataFrame]:
     sep = "_" if _is_table_name(base) else "/"
-    return {name: read_table(spark, f"{base}{sep}{name}") for name in RELATIONS}
+    schemas = {}
+    if not _is_table_name(base):
+        meta = os.path.join(base, "_schemas.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                schemas = {
+                    k: StructType.fromJson(json.loads(v))
+                    for k, v in json.load(f).items()
+                }
+    out = {}
+    for name in RELATIONS:
+        schema = schemas.get(name)
+        if schema is not None:
+            # exports carry an explicit bucket partition column
+            schema = StructType(
+                list(schema.fields) + [StructField("bucket", LongType(), True)]
+            )
+        out[name] = read_table(spark, f"{base}{sep}{name}", schema=schema)
+    return out
 
 
 def _is_table_name(base: str) -> bool:

@@ -33,10 +33,15 @@ def use_iceberg() -> bool:
     return os.environ.get("DEEPRANK_CATALOG", "parquet").lower() == "iceberg"
 
 
-def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+def read_table(spark: SparkSession, name_or_path: str, schema=None) -> DataFrame:
     if use_iceberg():
         return spark.read.table(name_or_path)
-    return spark.read.parquet(name_or_path)
+    r = spark.read
+    if schema is not None:
+        # explicit schema: required to read back relations that were empty
+        # at write time (partitioned writes of 0 rows leave no data files)
+        r = r.schema(schema)
+    return r.parquet(name_or_path)
 
 
 def write_table(

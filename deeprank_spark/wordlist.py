@@ -77,8 +77,21 @@ _COMMON_EXTRA = (
     "filter spark supplier region nation"
 ).split()
 
+# Base (lemma) forms of the generator verbs: the lemmatizer emits "hold"
+# for "holds" etc., and isCleanSent checks LEMMAS against the dictionary.
+_VERB_LEMMAS = tuple(v[:-1] if v.endswith("s") else v for v in GEN_VERBS)
+
 WORD_SET = frozenset(
-    w.lower() for w in (GEN_NOUNS + GEN_VERBS + GEN_ADJS + GEN_NAMES + _COMMON_EXTRA)
+    w.lower()
+    for w in (
+        GEN_NOUNS + GEN_VERBS + list(_VERB_LEMMAS) + GEN_ADJS + GEN_NAMES
+        + _COMMON_EXTRA
+    )
+) | frozenset(
+    # function words: the reference's NLTK `words` dictionary contains
+    # them, and isCleanSent (deepRank.py:171-184) relies on that — without
+    # these every sentence containing "the" is judged unclean
+    w for w in STOP_WORDS if "'" not in w
 )
 
 

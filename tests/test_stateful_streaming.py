@@ -21,15 +21,16 @@ def _rows(spark, keys, base_min=0):
 
 def _run_stream(spark, src, ck, out_fn, out_dir, mode):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
-    q = (
-        out_fn(stream)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ck)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = out_fn(stream).writeStream.option("checkpointLocation", ck)
+    if mode == "append":
+        w = w.format("parquet").option("path", out_dir)
+    else:
+        # parquet sink rejects update mode; foreachBatch appends each
+        # micro-batch's updated rows instead
+        w = w.foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(out_dir)
+        )
+    q = w.outputMode(mode).trigger(availableNow=True).start()
     q.awaitTermination(120)
 
 
