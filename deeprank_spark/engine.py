@@ -46,10 +46,15 @@ def digest(transcripts: DataFrame, params: CraftParams | None = None) -> Digest:
     p = params or CraftParams()
     parsed = parse_transcripts(transcripts)
     # the parse is the expensive stage — materialize it once for the
-    # multiple downstream consumers (edge gen, svo, extraction joins)
+    # multiple downstream consumers (edge gen, svo, extraction joins).
+    # The count() is load-bearing: a lazy persist referenced from several
+    # branches of ONE downstream action recomputes the parse per branch
+    # (parallel stages race the cache), tripling the flagship wall time.
     parsed = parsed.persist()
+    parsed.count()
     toks = tokens_table(parsed)
     w2l = w2l_sentence(toks).persist()
+    w2l.count()
     nouns = noun_set_table(toks)
     multi = multi_edges_table(parsed, w2l, nouns, p)
     ed = edges_table(multi)
