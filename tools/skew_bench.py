@@ -1,0 +1,77 @@
+"""Hub-skew benchmark: distributed PageRank on a power-law graph with one
+hub vertex receiving ~10% of all edges, with and without explicit salting
+(two-phase (dst, salt)->dst aggregation).
+
+Usage: python tools/skew_bench.py [n_edges] — prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from deeprank_spark.operators.pagerank import pagerank_distributed  # noqa: E402
+from deeprank_spark.session import get_spark  # noqa: E402
+
+
+def hub_graph(spark, n_edges: int, n_vertices: int, hub_frac: float = 0.10):
+    """Deterministic skewed edge table: hub vertex 0 receives hub_frac of
+    edges; the rest land uniformly (xxhash64-derived, no RNG state)."""
+    df = spark.range(n_edges)
+    h1 = F.abs(F.xxhash64("id", F.lit(1)))
+    h2 = F.abs(F.xxhash64("id", F.lit(2)))
+    src = (h1 % n_vertices).cast("long")
+    dst = F.when(
+        (F.abs(F.xxhash64("id", F.lit(3))) % 100) < int(hub_frac * 100), F.lit(0)
+    ).otherwise((h2 % n_vertices).cast("long"))
+    return df.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    ).distinct()
+
+
+def main(n_edges: int) -> None:
+    spark = get_spark(app_name="skew-bench", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = hub_graph(spark, n_edges, n_vertices=n_edges // 10).localCheckpoint(
+        eager=True
+    )
+    m = edges.count()
+    hub_in = edges.where("dst = 0").count()
+    out = {"edges": m, "hub_in_edges": hub_in, "hub_frac": round(hub_in / m, 4)}
+    results = {}
+    # tol tightened well below the networkx default: at n~200k the default
+    # n*tol gate trips after 2 supersteps, which measures nothing — the
+    # bench wants steady-state per-superstep cost under hub fan-in
+    for salt in (0, 16):
+        t0 = time.time()
+        run = pagerank_distributed(
+            edges, salt_buckets=salt, tol=1.0e-11, max_iter=100
+        )
+        wall = time.time() - t0
+        ms = [d["wall_ms"] for d in run.deltas]
+        results[f"salt_{salt}"] = {
+            "wall_s": round(wall, 2),
+            "supersteps": run.supersteps,
+            "steps_per_sec": round(run.supersteps / wall, 3),
+            "max_step_ms": round(max(ms)),
+            "med_step_ms": round(sorted(ms)[len(ms) // 2]),
+        }
+    # cross-check: same ranks either way
+    a = {r["id"]: r["rank"] for r in
+         pagerank_distributed(edges, salt_buckets=0, max_iter=100).ranks.collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank_distributed(edges, salt_buckets=16, max_iter=100).ranks.collect()}
+    # (cross-check runs use default tol: identical schedules either way)
+    out["max_rank_diff"] = max(abs(a[k] - b[k]) for k in a)
+    out.update(results)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000)
