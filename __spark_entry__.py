@@ -445,6 +445,57 @@ def q_dr_query_answers(spark, sf_dir):
     return answer_queries(d.parsed, d.multi_edges, d.gedges, queries)
 
 
+def q_dr_vote_answers(spark, sf_dir):
+    """Four-matcher answer engine (qpro.pro search path; rows-only —
+    pytest-verified in tests/test_answers.py)."""
+    from deeprank_spark.engine import digest
+    from deeprank_spark.operators.answers import four_matcher_answers
+    from deeprank_spark.sources.export import ner_table
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    d = digest(_docs_as_transcripts(docs))
+    ner = ner_table(d.tokens)
+    queries = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("q_idx"),
+        F.concat(
+            F.lit("who "), F.concat_ws(" ", F.slice(F.split("text", " "), 3, 6))
+        ).alias("text"),
+    )
+    out = four_matcher_answers(d.parsed, d.multi_edges, d.gedges, d.svo, ner, queries)
+    return out.select(
+        "conv_id", "q_idx", "sent_id", "votes", F.round("score", 8).alias("score")
+    )
+
+
+def q_dr_line_graph(spark, sf_dir):
+    """Line-graph edge ranking (W9; rows-only — verified vs networkx
+    line_graph+pagerank in tests/test_answers.py)."""
+    from deeprank_spark.engine import digest
+    from deeprank_spark.operators.line_graph import best_word_edges
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    d = digest(_docs_as_transcripts(docs))
+    out = best_word_edges(d.gedges, k=8)
+    return out.select(
+        "conv_id", "src_word", "dst_word", F.round("rank", 8).alias("rank")
+    )
+
+
+def q_dr_svo_extended(spark, sf_dir):
+    """Taxonomy (WordNet-style) SVO extension (J4; rows-only)."""
+    from deeprank_spark.engine import flagship
+    from deeprank_spark.functions.taxonomy import wn_rel_table
+    from deeprank_spark.operators.extract import extend_svos_with_taxonomy
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    out = flagship(_docs_as_transcripts(docs))
+    ext = extend_svos_with_taxonomy(
+        out["relations"], out["ranks"], wn_rel_table(spark)
+    )
+    return ext.select("conv_id", "subj", "verb", "obj", "sent_id")
+
+
 def q_token_count(spark, sf_dir):
     from deeprank_spark.operators.textstats import token_counts
 
@@ -769,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr_relations": q_dr_relations,
         "dr_components": q_dr_components,
         "dr_query_answers": q_dr_query_answers,  # rows-only (entry point C)
+        "dr_vote_answers": q_dr_vote_answers,  # rows-only (4-matcher vote path)
+        "dr_line_graph": q_dr_line_graph,  # rows-only (W9 kernel reuse)
+        "dr_svo_extended": q_dr_svo_extended,  # rows-only (J4 taxonomy join)
     }
 
 

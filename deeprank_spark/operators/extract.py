@@ -129,6 +129,58 @@ def summary(
     )
 
 
+def extend_svos_with_taxonomy(
+    top_svos: DataFrame,
+    ranks_adj: DataFrame,
+    wn_rel: DataFrame,
+    k: int | None = None,
+    params: CraftParams | None = None,
+) -> DataFrame:
+    """WordNet-style SVO extension (extend_with_wn_links, deepRank.py:602-629):
+    for each endpoint of the top-k SVOs, emit is_a / part_of relations to
+    taxonomy neighbors, kept ONLY if the related lemma occurs in the
+    document's rank table ("both ends occur in the document",
+    pdfs/logrank.txt:313-319), self-pairs dropped (the morphy-inequality
+    guard), deduped, top-k per conversation in deterministic order.
+
+    -> (conv_id, subj, verb, obj, sent_id) rows with verb ∈ {is_a, part_of}.
+    """
+    p = params or CraftParams()
+    k = k or p.rel_count
+    ends = top_svos.select(
+        "conv_id", F.col("subj").alias("w"), "sent_id"
+    ).union(top_svos.select("conv_id", F.col("obj").alias("w"), "sent_id"))
+
+    j = ends.join(F.broadcast(wn_rel), ends["w"] == wn_rel["lemma"])
+    # direction per rel_type, mirroring the reference's 8 emit branches
+    ext = j.select(
+        "conv_id",
+        F.when(F.col("rel_type").isin("holo", "hyper"), F.col("w"))
+        .otherwise(F.col("related"))
+        .alias("subj"),
+        F.when(F.col("rel_type").isin("hyper", "hypo"), F.lit("is_a"))
+        .otherwise(F.lit("part_of"))
+        .alias("verb"),
+        F.when(F.col("rel_type").isin("holo", "hyper"), F.col("related"))
+        .otherwise(F.col("w"))
+        .alias("obj"),
+        "sent_id",
+    ).where(F.col("subj") != F.col("obj"))
+    # both ends must occur in the document (semi-join against word ranks)
+    doc_words = ranks_adj.where(F.col("kind") == "W").select(
+        "conv_id", F.col("key").alias("subj")
+    )
+    ext = ext.join(doc_words, ["conv_id", "subj"], "leftsemi")
+    doc_words_o = ranks_adj.where(F.col("kind") == "W").select(
+        "conv_id", F.col("key").alias("obj")
+    )
+    ext = ext.join(doc_words_o, ["conv_id", "obj"], "leftsemi").distinct()
+    w = Window.partitionBy("conv_id").orderBy("subj", "verb", "obj", "sent_id")
+    return ext.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    ).drop("rn")
+
+
 def scored_svos(
     svo: DataFrame,
     ranks_adj: DataFrame,

@@ -1,0 +1,119 @@
+"""Four-matcher answer engine (qpro.pro search path) + SVO taxonomy
+extension + line-graph ranking."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from deeprank_spark.engine import digest, ranks
+from deeprank_spark.functions.taxonomy import wn_rel_table
+from deeprank_spark.operators.answers import four_matcher_answers
+from deeprank_spark.operators.extract import extend_svos_with_taxonomy, scored_svos
+from deeprank_spark.operators.line_graph import best_word_edges
+from deeprank_spark.oracle import textgraph as otg
+from deeprank_spark.oracle.kernels import pagerank_nx
+from deeprank_spark.sources.export import ner_table
+from deeprank_spark.transcripts import tiny_transcripts, transcripts_sdf
+
+
+def test_four_matcher_answers(spark):
+    tr = transcripts_sdf(spark, tiny_transcripts())
+    d = digest(tr)
+    ner = ner_table(d.tokens)
+    queries = spark.createDataFrame(
+        [
+            ("c_mixed", 0, "Who builds the graph engine?"),
+            ("c_mixed", 1, "What does the summary answer?"),
+            ("c_cat", 0, "Who sits on the mat?"),
+        ],
+        "conv_id string, q_idx int, text string",
+    )
+    ans = four_matcher_answers(d.parsed, d.multi_edges, d.gedges, d.svo, ner, queries)
+    rows = ans.join(d.parsed, ["conv_id", "sent_id"]).select(
+        "conv_id", "q_idx", "votes", "score",
+        F.concat_ws(" ", "words").alias("text"),
+    ).collect()
+    by_q = {}
+    for r in rows:
+        key = (r["conv_id"], r["q_idx"])
+        cur = by_q.get(key)
+        if cur is None or (r["votes"], r["score"]) > (cur["votes"], cur["score"]):
+            by_q[key] = r
+    assert by_q[("c_mixed", 0)]["text"] == "Alice builds the graph engine ."
+    assert by_q[("c_mixed", 1)]["text"] == "The summary answers the question ."
+    assert by_q[("c_cat", 0)]["text"] == "The cat sits on the mat ."
+    # every query got at most max_answers rows
+    from collections import Counter
+    c = Counter((r["conv_id"], r["q_idx"]) for r in rows)
+    assert max(c.values()) <= 3
+
+
+def test_svo_taxonomy_extension(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2026, 1, 1)
+    rows_in = [
+        ("c_tax", i, "user", s, None, base)
+        for i, s in enumerate(
+            [
+                "The cat finds the mat.",
+                "The animal walks.",
+                "The dog holds the wheel.",
+                "The car moves.",
+            ]
+        )
+    ]
+    tr = transcripts_sdf(
+        spark,
+        pd.DataFrame(
+            rows_in,
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+    )
+    d = digest(tr)
+    r = ranks(d)
+    top = scored_svos(d.svo, r)
+    ext = extend_svos_with_taxonomy(top, r, wn_rel_table(spark))
+    rows = ext.collect()
+    assert len(rows) > 0
+    assert all(x["verb"] in ("is_a", "part_of") for x in rows)
+    # both ends occur in the document's word ranks; no self-pairs
+    doc_words = {
+        (x["conv_id"], x["key"])
+        for x in r.where(F.col("kind") == "W").select("conv_id", "key").collect()
+    }
+    for x in rows:
+        assert (x["conv_id"], x["subj"]) in doc_words
+        assert (x["conv_id"], x["obj"]) in doc_words
+        assert x["subj"] != x["obj"]
+    triples = {(x["subj"], x["verb"], x["obj"]) for x in rows}
+    # cat is_a animal (hyper) — both in doc; wheel part_of car (holo)
+    assert ("cat", "is_a", "animal") in triples
+    assert ("wheel", "part_of", "car") in triples
+
+
+def test_line_graph_ranking_matches_networkx(spark):
+    import networkx as nx
+
+    tr = transcripts_sdf(spark, tiny_transcripts())
+    d = digest(tr)
+    got = {
+        (r["conv_id"], r["src_word"], r["dst_word"]): r["rank"]
+        for r in best_word_edges(d.gedges, k=1000).collect()
+    }
+    for conv, grp in tiny_transcripts().groupby("conv_id"):
+        sents = list(grp.sort_values("turn_idx")["text"])
+        g = otg.nx_graph(otg.digest(sents))
+        lg = nx.line_graph(g)
+        lg.remove_nodes_from(list(nx.isolates(lg)))
+        if lg.number_of_nodes() == 0:
+            continue
+        exp = pagerank_nx(list(lg.edges()))
+        for node, er in exp.items():
+            u, v = node
+            if isinstance(u, str) and isinstance(v, str):
+                assert math.isclose(got[(conv, u, v)], er, abs_tol=1e-6), (
+                    conv, node, got.get((conv, u, v)), er,
+                )
