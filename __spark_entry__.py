@@ -512,6 +512,24 @@ _TOKEN_SQL = (
 )
 
 
+def q_fingerprint(spark, sf_dir):
+    from deeprank_spark.operators.textstats import sampled_fingerprints
+
+    return sampled_fingerprints(_load(spark, sf_dir, "documents"))
+
+
+_FP_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> length(x) > 0) AS t "
+    " FROM documents), "
+    "grams AS (SELECT doc_id, UNNEST(list_distinct(list_transform("
+    "  range(1, greatest(len(t) - 2, 1) + 1), "
+    "  i -> array_to_string(list_slice(t, CAST(i AS INT), CAST(i + 2 AS INT)), ' ')))) AS g FROM toks), "
+    "h AS (SELECT DISTINCT doc_id, CAST(CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS BIGINT) AS fp_hash FROM grams) "
+    "SELECT doc_id, fp_hash FROM h WHERE fp_hash % 16 = 0"
+)
+
+
 def q_lang_id(spark, sf_dir):
     from deeprank_spark.operators.textstats import language_id
 
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "emb_cosine_pairs": q_emb_cosine_pairs,
         "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine,
@@ -845,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_plan": _MM_FRAME_SQL,
         "cube_agg": _CUBE_SQL,
         "token_count": _TOKEN_SQL,
+        "fingerprint": _FP_SQL,
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "ann_cosine_topk": _ANN_SQL,

@@ -119,3 +119,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         lambda acc, h: acc.bitwiseXOR(h),
     )
     return docs.select(F.col(id_col), F.conv(F.format_string("%d", fp), 10, 16).alias("fp"))
+
+
+def sampled_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 3,
+    mod: int = 16,
+) -> DataFrame:
+    """Mod-p sampled document fingerprint (Karp-Rabin / MOSS-style): hash
+    every distinct token n-gram, retain hashes ≡ 0 (mod `mod`). The sample
+    is content-defined — insensitive to document offset, robust to local
+    edits — and two documents' fingerprint overlap estimates containment.
+    Engine-portable hash (md5 hex -> int) so the DuckDB oracle matches
+    bit-for-bit. -> exploded (doc_id, fp_hash) rows.
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - F.lit(gram_n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
+        )
+    )
+    h = docs.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("fp_hash"),
+    )
+    return h.where(F.pmod("fp_hash", F.lit(mod)) == 0).distinct()
