@@ -64,6 +64,11 @@ def run_bench() -> dict:
     qs = entrymod.queries()
     times: dict[str, float] = {}
     extras: dict = {}
+    # untimed warmup: JVM/codegen/parquet-footer costs land here, not on
+    # whichever query happens to run first
+    for t in ("orders", "lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    qs["vote_count"](spark, SF_DIR).count()
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
