@@ -87,8 +87,15 @@ _SYM_SQL = (
 
 
 def _cosupplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected supplier pairs sharing a part (u < v)."""
-    l = _load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    """Undirected supplier pairs sharing a part (u < v). The (part,
+    supplier) projection is distinct-ed BEFORE the self-join: at sf0.1 that
+    shrinks the join input ~5x and the pair blow-up quadratically — the
+    standard pre-aggregation for co-occurrence joins."""
+    l = (
+        _load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     a = l.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("u"))
     b = l.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("v"))
     return a.join(b, "pk").where(F.col("u") < F.col("v")).select("u", "v").distinct()

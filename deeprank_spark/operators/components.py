@@ -25,11 +25,16 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 
 def _parquet_reset(df: DataFrame, tag: str, step: int) -> DataFrame:
-    """Round-trip iterative state through parquet: truncates lineage AND
-    resets Catalyst size stats (localCheckpoint inherits the parent's
-    sizeInBytes, which compounds exponentially when the state feeds two
-    joins per iteration — see pagerank.py)."""
-    path = os.path.join(tempfile.mkdtemp(prefix=f"deeprank_{tag}_"), f"s{step}")
+    """Round-trip iterative state through parquet (tmpfs when available):
+    the only true lineage-truncation point. localCheckpoint keeps the full
+    RDD lineage as its recovery path, so if the driver GC drops earlier
+    step DataFrames their blocks are evicted and later steps silently
+    recompute a doubly-referenced chain — the loops below also hold strong
+    refs to every checkpointed step between resets (see pagerank.py)."""
+    parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = os.path.join(
+        tempfile.mkdtemp(prefix=f"deeprank_{tag}_", dir=parent), f"s{step}"
+    )
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -111,6 +116,7 @@ def components_distributed(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint(eager=True)
     )
+    kept = []  # strong refs: keep checkpoint blocks alive between resets
     for it in range(max_iter):
         nbr_min = (
             labels.join(sym, labels["id"] == sym["a"])
@@ -131,9 +137,12 @@ def components_distributed(
             .localCheckpoint(eager=True)
         )
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        kept.append(new)
         labels = new.select("id", "component")
         if (it + 1) % 5 == 0:
             labels = _parquet_reset(labels, "cc", it)
+            kept.clear()
         if changed == 0:
             break
+    sym.unpersist()
     return labels

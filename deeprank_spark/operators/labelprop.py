@@ -102,6 +102,7 @@ def lpa_distributed(
     )
     from .components import _parquet_reset
 
+    kept = []  # strong refs: keep checkpoint blocks alive between resets
     for it in range(max_iter):
         hist = (
             labels.join(sym, labels["id"] == sym["a"])
@@ -125,9 +126,12 @@ def lpa_distributed(
             .localCheckpoint(eager=True)
         )
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        kept.append(new)
         labels = new.select("id", "label")
         if (it + 1) % 5 == 0:
             labels = _parquet_reset(labels, "lpa", it)
+            kept.clear()
         if changed == 0:
             break
+    sym.unpersist()
     return labels
