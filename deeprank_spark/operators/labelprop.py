@@ -32,9 +32,11 @@ def _lpa_numpy(n: int, src: np.ndarray, dst: np.ndarray, max_iter: int) -> np.nd
     mask = src != dst
     a = np.concatenate([src[mask], dst[mask]])
     b = np.concatenate([dst[mask], src[mask]])
+    labels = np.arange(n)
+    if len(a) == 0:
+        return labels  # only self-loops / no edges: every vertex keeps its label
     pairs = np.unique(np.stack([a, b], axis=1), axis=0)
     a, b = pairs[:, 0], pairs[:, 1]
-    labels = np.arange(n)
     for _ in range(max_iter):
         new = labels.copy()
         # histogram per (vertex a, neighbor-label): count, pick (max count, min label)

@@ -13,25 +13,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
-
+from deeprank_spark.graphgen import hub_graph  # noqa: E402
 from deeprank_spark.operators.pagerank import pagerank_distributed  # noqa: E402
 from deeprank_spark.session import get_spark  # noqa: E402
-
-
-def hub_graph(spark, n_edges: int, n_vertices: int, hub_frac: float = 0.10):
-    """Deterministic skewed edge table: hub vertex 0 receives hub_frac of
-    edges; the rest land uniformly (xxhash64-derived, no RNG state)."""
-    df = spark.range(n_edges)
-    h1 = F.abs(F.xxhash64("id", F.lit(1)))
-    h2 = F.abs(F.xxhash64("id", F.lit(2)))
-    src = (h1 % n_vertices).cast("long")
-    dst = F.when(
-        (F.abs(F.xxhash64("id", F.lit(3))) % 100) < int(hub_frac * 100), F.lit(0)
-    ).otherwise((h2 % n_vertices).cast("long"))
-    return df.select(src.alias("src"), dst.alias("dst")).where(
-        F.col("src") != F.col("dst")
-    ).distinct()
 
 
 def main(n_edges: int) -> None:
