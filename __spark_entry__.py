@@ -355,15 +355,27 @@ _SIMHASH_SQL = (
     "bits AS (SELECT doc_id, bit, CASE WHEN (h60 >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END AS v "
     "  FROM h, (SELECT UNNEST(range(0, 60)) AS bit)), "
     "votes AS (SELECT doc_id, bit, SUM(v) AS vote FROM bits GROUP BY doc_id, bit) "
-    "SELECT doc_id, SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS simhash "
+    "SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash "
     "FROM votes GROUP BY doc_id"
 )
 
 
 def q_emb_cosine_pairs(spark, sf_dir):
+    """BLOCKED path: multi-table sign-LSH candidates + exact rescore (no
+    cartesian in the plan). (num_tables=20, planes_per_table=2, seed=42)
+    gives measured recall 1.0 vs the brute-force oracle at sf0.01 AND
+    sf0.1 (tests/test_dedup_similarity.py::test_cosine_pairs_blocked
+    _matches_exact); the rescore is exact, so precision is 1.0 by
+    construction. The oracle stays the brute-force SQL — same output."""
     from deeprank_spark.operators.similarity import cosine_near_pairs
 
-    p = cosine_near_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.4)
+    p = cosine_near_pairs(
+        _load(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_tables=20,
+        planes_per_table=2,
+        seed=42,
+    )
     return p.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -380,17 +392,55 @@ _EMB_PAIRS_SQL = (
 
 
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: xxhash64-derived
-    hyperplanes have no DuckDB equivalent; exactness of the rescoring is
-    covered by ann_cosine_topk and tests/test_dedup_similarity.py)."""
+    """LSH-bucketed approximate top-k with hamming-1 multi-probe. Fully
+    DuckDB-oracled: hyperplanes are md5-derived ("plane|dim|seed"), so the
+    oracle recomputes bit-identical buckets, probes and rescoring."""
     from deeprank_spark.operators.similarity import ann_topk_lsh
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann_topk_lsh(emb, queries, k=5, num_planes=6)
+    out = ann_topk_lsh(emb, queries, k=5, num_planes=6, probe_radius=1)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
+
+
+def _ann_bucket_sql(vexpr: str, planes: int = 6, seed: int = 42) -> str:
+    """DuckDB expression recomputing similarity._sign_bit buckets exactly:
+    same md5('plane|dim|seed') hyperplane components, same bit weights."""
+    terms = []
+    for p in range(planes):
+        comp = (
+            f"((CAST(CAST('0x' || substr(md5('{p}|' || i || '|{seed}'), 1, 15) "
+            "AS UBIGINT) AS BIGINT) % 2000003) / 1000001.5 - 1.0)"
+        )
+        dot = (
+            f"list_sum(list_transform(range(0, len({vexpr})), "
+            f"i -> {vexpr}[CAST(i AS INT) + 1] * {comp}))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(planes: int = 6, seed: int = 42, k: int = 5) -> str:
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << j})" for j in range(planes)]
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, {_ann_bucket_sql('v', planes, seed)} AS bucket FROM e), "
+        "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id % 100 = 1), "
+        f"probes AS (SELECT query_id, qv, p.bucket FROM q, UNNEST([{probe_list}]) AS p(bucket)), "
+        "cand AS (SELECT DISTINCT query_id, vec_id FROM probes JOIN b USING (bucket) "
+        "  WHERE query_id <> vec_id), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        "  list_dot_product(q.qv, b.v) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        "  sqrt(list_dot_product(b.v, b.v))) AS cosine "
+        "  FROM cand c JOIN q ON c.query_id = q.query_id JOIN b ON c.vec_id = b.vec_id), "
+        "ranked AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER "
+        "  (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
+        f"SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rn FROM ranked WHERE rn <= {k}"
+    )
 
 
 def q_cube_agg(spark, sf_dir):
@@ -824,7 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine,
-        "ann_lsh_topk": q_ann_lsh,  # rows-only (xxhash64 hyperplanes)
+        "ann_lsh_topk": q_ann_lsh,
         # multimodal plumbing
         "mm_frame_plan": q_mm_frame_plan,
         "mm_features": q_mm_features,  # rows-only (numpy fake decode)
@@ -875,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "ann_cosine_topk": _ANN_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(planes=6, seed=42, k=5),
         "topk_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"

@@ -35,16 +35,19 @@ _HYPER = {
     "spark": "system", "driver": "system", "executor": "system",
 }
 
-# part -> whole (part_of)
-_HOLO = {
-    "wheel": "car", "door": "house", "seat": "car",
-    "edge": "graph", "vertex": "graph", "node": "graph",
-    "word": "sentence", "sentence": "document", "turn": "document",
-    "partition": "table", "column": "table", "row": "table",
-    "executor": "cluster", "node": "cluster",
-    "battery": "car", "screen": "car",
-    "key": "map", "value": "map",
-}
+# part -> whole (part_of); a lemma may carry multiple holonyms, so this is
+# a tuple list, not a dict (a dict silently dropped node->graph behind
+# node->cluster).
+_HOLO = [
+    ("wheel", "car"), ("door", "house"), ("seat", "car"),
+    ("edge", "graph"), ("vertex", "graph"), ("node", "graph"),
+    ("word", "sentence"), ("sentence", "document"), ("turn", "document"),
+    ("partition", "table"), ("column", "table"), ("row", "table"),
+    ("executor", "cluster"), ("node", "cluster"),
+    ("battery", "car"), ("screen", "car"),
+    ("key", "map"), ("value", "map"),
+]
+assert len(set(_HOLO)) == len(_HOLO), "duplicate (part, whole) pair in _HOLO"
 
 
 def taxonomy_rows() -> list[tuple[str, str, str]]:
@@ -52,9 +55,10 @@ def taxonomy_rows() -> list[tuple[str, str, str]]:
     for child, parent in sorted(_HYPER.items()):
         rows.append((child, "hyper", parent))   # child is_a parent
         rows.append((parent, "hypo", child))    # parent has-kind child
-    for part, whole in sorted(_HOLO.items()):
+    for part, whole in sorted(_HOLO):
         rows.append((part, "holo", whole))      # part part_of whole
         rows.append((whole, "mero", part))      # whole has-part part
+    assert len(set(rows)) == len(rows), "taxonomy_rows dropped an entry"
     return rows
 
 

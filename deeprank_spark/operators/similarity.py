@@ -6,13 +6,24 @@ Over an `embeddings(vec_id, embedding array<float>, label)` table:
   The dot product is a zip_with/aggregate Catalyst expression (JVM-side);
   queries broadcast against the corpus, so the corpus is scanned once —
   at 100 TB this is the embarrassingly parallel baseline.
+- cosine_near_pairs: all-pairs above a cosine threshold. Default path is
+  BLOCKED: multi-table sign-LSH candidate generation + exact rescoring
+  (no cartesian in the plan); `exact=True` keeps the O(n^2) crossJoin as a
+  small-n verifier. LSH recall is threshold-dependent — see
+  lsh_tables_for_recall for the standard (1-(1-p1^P)^T) sizing formula.
 - random_hyperplane_lsh / ann_topk_lsh: sign-LSH buckets from deterministic
-  hyperplanes (hash-derived pseudo-random components, no RNG state), then
-  exact rescoring within candidate buckets — the scale path that avoids the
-  full cross product.
+  md5-derived hyperplanes (engine-portable: the identical bucket ids are
+  computable in ANSI-SQL/DuckDB, which is how the driver oracles
+  ann_lsh_topk), multi-probe over hamming-1 neighbor buckets for recall,
+  then exact rescoring within candidate buckets.
+
+All hyperplanes are hash-derived (md5 of "plane|dim|seed") — reproducible
+across runs, engines and languages; no RNG state is shipped to executors.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,38 +82,43 @@ def cosine_topk(
     )
 
 
-def cosine_near_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine >= threshold. Brute-force O(n^2) baseline — the LSH-bucketed
-    variant (ann_topk_lsh's bucket join) is the scale path; at 100 TB you
-    block on LSH buckets first and verify with this exact score."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
-
-
 def _hyperplane_component(plane: int, dim_idx, seed: int) -> F.Column:
     """Deterministic pseudo-random component in [-1, 1): derived from
-    xxhash64(plane, dim, seed) — reproducible across runs and engines with
-    the same hash, no RNG state shipped to executors."""
-    h = F.xxhash64(F.lit(plane), dim_idx.cast("long"), F.lit(seed))
+    md5("plane|dim|seed"). md5 (unlike xxhash64) exists in every engine,
+    so the DuckDB oracle recomputes bit-identical hyperplanes:
+    (CAST('0x'||substr(md5(p||'|'||i||'|'||seed),1,15) AS UBIGINT)
+     % 2000003) / 1000001.5 - 1."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(plane)),
+                    dim_idx.cast("long").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     return (F.pmod(h, F.lit(2000003)).cast("double") / 1000001.5) - 1.0
+
+
+def _sign_bit(vec_col: str, plane: int, seed: int) -> F.Column:
+    """1 iff dot(v, hyperplane(plane)) >= 0 (scale-invariant)."""
+    prod = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda x, i: x.cast("double") * _hyperplane_component(plane, i, seed),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def random_hyperplane_lsh(
@@ -111,25 +127,106 @@ def random_hyperplane_lsh(
     num_planes: int = 12,
     seed: int = 42,
     out_col: str = "bucket",
+    plane_offset: int = 0,
 ) -> DataFrame:
-    """Sign-LSH bucket id from num_planes deterministic hyperplanes."""
-    def sign_bit(plane: int) -> F.Column:
-        # dot(v, plane) via aggregate over (value, dim index)
-        prod = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: x.cast("double") * _hyperplane_component(plane, i, seed),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(prod >= 0, F.lit(1)).otherwise(F.lit(0))
-
+    """Sign-LSH bucket id from num_planes deterministic hyperplanes.
+    Bit p (global plane index plane_offset+p) has weight 2^(num_planes-1-p)."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        bucket = bucket * 2 + sign_bit(p)
+        bucket = bucket * 2 + _sign_bit(vec_col, plane_offset + p, seed)
     return df.withColumn(out_col, bucket)
+
+
+def lsh_tables_for_recall(
+    threshold: float, planes_per_table: int, target_recall: float = 0.999
+) -> int:
+    """Standard multi-table sign-LSH sizing: a pair at cosine=threshold
+    collides per plane with p1 = 1 - acos(threshold)/pi, per table with
+    p1^P; T tables give recall 1-(1-p1^P)^T. Returns the smallest T
+    reaching target_recall AT the threshold (higher-cosine pairs do
+    better). Low thresholds (e.g. 0.4) need many tables and prune little —
+    that is a property of the problem, not the implementation; near-dup
+    thresholds (>=0.9) prune hard with few tables."""
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    p_table = p1 ** planes_per_table
+    if p_table >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_table)))
+
+
+def multitable_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 20,
+    planes_per_table: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """-> narrow (id, tbl, bucket): one row per (vector, table). Table t
+    uses global planes [t*P, (t+1)*P). Only (id, bucket) leave the scan —
+    vectors are NOT carried through the T-way explosion, so the shuffle
+    payload is O(n*T*16 bytes) regardless of dimension."""
+    per_table = []
+    for t in range(num_tables):
+        b = F.lit(0).cast("long")
+        for p in range(planes_per_table):
+            b = b * 2 + _sign_bit(vec_col, t * planes_per_table + p, seed)
+        per_table.append(b)
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.array(*per_table)).alias("tbl", "bucket")
+    )
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    num_tables: int | None = None,
+    planes_per_table: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold.
+
+    Default path is BLOCKED: multi-table sign-LSH candidates (narrow
+    bucket self-join, no cartesian) -> distinct pairs -> exact cosine
+    rescore -> threshold filter. num_tables defaults to
+    lsh_tables_for_recall(threshold, planes_per_table) so recall at the
+    threshold is >=0.999 by the standard collision bound; the rescore is
+    exact, so false positives are impossible. `exact=True` is the O(n^2)
+    crossJoin verifier for small n / recall audits.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    score = (
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    ).alias("cosine")
+    if exact:
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", score)
+            .where(F.col("cosine") >= threshold)
+        )
+    if num_tables is None:
+        num_tables = lsh_tables_for_recall(threshold, planes_per_table)
+    bk = multitable_lsh_buckets(
+        df, id_col, vec_col, num_tables, planes_per_table, seed
+    )
+    cand = (
+        bk.alias("x")
+        .join(bk.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", score)
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def ann_topk_lsh(
@@ -140,10 +237,15 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, exact
-    cosine rescoring within the bucket. Probes only the single bucket
-    (multi-probe is a straightforward extension: explode neighbor buckets)."""
+    """Approximate top-k: candidates share one of the query's probe buckets
+    (its own bucket plus all buckets within hamming distance
+    `probe_radius`, classic multi-probe LSH), exact cosine rescoring within
+    the candidate set. probe_radius=0 is single-probe; radius 1 adds
+    num_planes neighbor probes and recovers most of the recall lost to
+    near-boundary sign flips (measured recall vs cosine_topk is reported
+    by bench.py --ann-recall)."""
     c = random_hyperplane_lsh(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
         "cv", num_planes, seed,
@@ -152,17 +254,27 @@ def ann_topk_lsh(
         queries.select("query_id", F.col(vec_col).alias("qv")),
         "qv", num_planes, seed,
     )
-    scored = (
+    probes = [F.col("bucket")]
+    if probe_radius >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)
+        ]
+    q = (
+        q.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
+    )
+    cand = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
-        )
+        .select("query_id", "qv", "vec_id", "cv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

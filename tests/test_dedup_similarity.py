@@ -192,3 +192,64 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_strict(b"xx")
+
+
+def test_cosine_pairs_blocked_matches_exact(spark):
+    """The blocked (multi-table sign-LSH + exact rescore) default path of
+    cosine_near_pairs must reproduce the brute-force pair set exactly with
+    the contract parameters (T=20, P=2, seed=42) on the driver's fixture
+    (sf0.01 embeddings) — this is the recall=1.0 guarantee behind keeping
+    the brute-force SQL as the DuckDB oracle for emb_cosine_pairs."""
+    from deeprank_spark.operators.similarity import cosine_near_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in cosine_near_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in cosine_near_pairs(
+            emb, threshold=0.4, num_tables=20, planes_per_table=2, seed=42
+        ).collect()
+    }
+    assert exact == blocked
+    assert len(exact) == 59
+
+
+def test_lsh_tables_for_recall_formula():
+    from deeprank_spark.operators.similarity import lsh_tables_for_recall
+
+    # near-dup threshold: a handful of tables suffice
+    assert lsh_tables_for_recall(0.95, 8) <= 15
+    # low threshold: many tables needed (pruning is inherently weak)
+    assert lsh_tables_for_recall(0.4, 2) >= 10
+    assert lsh_tables_for_recall(1.0, 4) == 1
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    """probe_radius=1 must dominate single-probe recall vs exact top-k."""
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in rows[:6]], "query_id long, embedding array<float>"
+    )
+    exact = {}
+    for r in cosine_topk(corpus, queries, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(radius):
+        approx = {}
+        for r in ann_topk_lsh(
+            corpus, queries, k=5, num_planes=5, probe_radius=radius
+        ).collect():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.5
