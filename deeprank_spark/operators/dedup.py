@@ -19,7 +19,7 @@ ordinary shuffles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,38 +120,107 @@ def ngram_jaccard_pairs(
     shingle_k: int = 8,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard similarity over char shingles for all pairs sharing at
-    least one shingle (or restricted to `candidates(id_a, id_b)`).
+    """Exact Jaccard similarity over char shingles, >= threshold.
 
-    -> (id_a, id_b, jaccard) with jaccard >= threshold.
+    Default path is PREFIX-FILTERED (Chaudhuri et al. SSJoin / Bayardo
+    All-Pairs / PPJoin Lemma 1) and LOSSLESS: order each doc's shingles by
+    ascending global frequency (ties by shingle), keep only the first
+    n - ceil(t*n) + 1 as the doc's prefix; any pair with J >= t MUST share
+    a prefix shingle (if the prefixes were disjoint, all >= ceil(t*n)
+    common shingles would have to fit in a suffix of ceil(t*n)-1 — see
+    module tests for the property check). The candidate join therefore
+    runs on the RAREST shingles only: a shingle in f docs contributes f^2
+    join rows, and hot stop-shingles are excluded from prefixes by the
+    frequency ordering, so the join is skew-resistant by construction —
+    unlike the `exact=True` path, which joins on EVERY shared shingle and
+    is kept solely as a small-n differential verifier.
+
+    Verification is exact Jaccard via array_intersect on the full shingle
+    arrays, so the output is identical to the brute path for any input
+    (no recall parameter to tune).
+
+    `candidates(id_a, id_b)` overrides candidate generation entirely
+    (e.g. minhash_lsh_pairs output for an approximate two-stage pipeline).
+    -> (id_a, id_b, jaccard).
     """
-    sh = docs.select(
+    sets = docs.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).select("id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
-    b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
-    inter = (
-        a.join(b, "s")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
+    ).withColumn("n", F.size("shingles"))
+
+    if exact and candidates is None:
+        sh = sets.select("id", "n", F.explode("shingles").alias("s"))
+        a = sh.select(F.col("id").alias("id_a"), F.col("n").alias("na"), "s")
+        b = sh.select(F.col("id").alias("id_b"), F.col("n").alias("nb"), "s")
+        inter = (
+            a.join(b, "s")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias("common"),
+                F.first("na").alias("na"),
+                F.first("nb").alias("nb"),
+            )
         )
+        return inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
+
+    if candidates is None:
+        tok = sets.select("id", "n", F.explode("shingles").alias("s"))
+        freq = tok.groupBy("s").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("id").orderBy("df", "s")
+        prefix_len = (
+            F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("int") + 1
+        )
+        prefixes = (
+            tok.join(freq, "s")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= prefix_len)
+            .select("id", "s")
+        )
+        pa = prefixes.select(F.col("id").alias("id_a"), "s")
+        pb = prefixes.select(F.col("id").alias("id_b"), "s")
+        candidates = (
+            pa.join(pb, "s")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sa"), F.col("n").alias("na")
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "leftsemi")
-    return inter.select(
-        "id_a",
-        "id_b",
-        (
-            F.col("common")
-            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
-        ).alias("jaccard"),
-    ).where(F.col("jaccard") >= threshold)
+    b = sets.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sb"), F.col("n").alias("nb")
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).alias("common"),
+            "na",
+            "nb",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(

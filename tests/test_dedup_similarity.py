@@ -253,3 +253,41 @@ def test_ann_multiprobe_improves_recall(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert r1 >= 0.5
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """Prefix-filtered path must equal the join-on-every-shared-shingle
+    brute path exactly (the filter is lossless by the PPJoin prefix
+    lemma), on real fixture text and on adversarial short docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pairs(df, **kw):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(df, shingle_k=8, threshold=0.5, **kw).collect()
+        }
+
+    assert pairs(docs) == pairs(docs, exact=True)
+
+    rng = random.Random(5)
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(60):
+        t = base
+        for _ in range(rng.randrange(0, 4)):
+            pos = rng.randrange(0, len(t))
+            t = t[:pos] + rng.choice("abcdefgh ") + t[pos + 1:]
+        rows.append((i, t))
+    small = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.3, 0.5, 0.8):
+        got_b = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(small, shingle_k=4, threshold=thr).collect()
+        }
+        got_e = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                small, shingle_k=4, threshold=thr, exact=True
+            ).collect()
+        }
+        assert got_b == got_e, thr
