@@ -239,14 +239,58 @@ def _lpa_sql() -> str:
     return f"WITH {', '.join(ctes)} SELECT id, label FROM {prev}"
 
 
+PR_FULL_ITERS = 36  # > supersteps-to-1e-6 at sf0.01 (32) and sf0.1 (21)
+
+
 def q_g_pagerank_full(spark, sf_dir):
-    """Full-convergence distributed PageRank (networkx semantics incl.
-    dangling mass; pytest-verified) — rows-only here (iterative float
-    fixpoint is not reasonably SQL-expressible)."""
+    """Distributed directed PageRank (networkx semantics incl. dangling
+    mass) for a FIXED superstep count (tol=0 mode): 36 supersteps is past
+    the observed 1e-6 convergence point at both driver SFs, and the fixed
+    count is what lets a DuckDB unrolled-CTE oracle mirror the exact
+    floating-point schedule (convergence-detection mode is pytest-verified
+    vs networkx to allclose 1e-6 in tests/test_pagerank.py and measured by
+    bench.py)."""
     from deeprank_spark.operators.pagerank import pagerank_distributed
 
-    run = pagerank_distributed(_bipartite_edges(spark, sf_dir))
+    run = pagerank_distributed(
+        _bipartite_edges(spark, sf_dir), tol=0.0, max_iter=PR_FULL_ITERS
+    )
     return run.ranks.select("id", F.round("rank", 8).alias("pr"))
+
+
+def _pagerank_full_sql(iters: int = PR_FULL_ITERS) -> str:
+    """Unrolled directed PageRank with dangling-mass redistribution,
+    mirroring pagerank_distributed's per-superstep arithmetic:
+    rank' = 0.85*(coalesce(contrib,0) + dm*p) + (1.0-0.85)*p, p = 1/n,
+    dm = sum of previous ranks over dangling (out-degree-0) vertices."""
+    p = "(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn))"
+    # AS MATERIALIZED everywhere: each x{i} is referenced twice by x{i+1}
+    # (dangling-mass subquery + contribution join); inlining would re-scan
+    # the base parquet 2x per unrolled step and exhaust file descriptors.
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
+        "dang AS MATERIALIZED (SELECT id FROM verts WHERE id NOT IN (SELECT src FROM outdeg))",
+        f"x0 AS MATERIALIZED (SELECT id, {p} AS rank FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"x{i - 1}"
+        dm = (
+            f"(SELECT COALESCE(SUM(x.rank), CAST(0.0 AS DOUBLE)) "
+            f"FROM {prev} x JOIN dang d ON x.id = d.id)"
+        )
+        ctes.append(
+            f"x{i} AS MATERIALIZED (SELECT v.id, "
+            f"CAST(0.85 AS DOUBLE) * (COALESCE(c.s, CAST(0.0 AS DOUBLE)) + {dm} * {p}) "
+            f"+ (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * {p} AS rank "
+            f"FROM verts v LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(x.rank / o.deg) AS s "
+            f"FROM {prev} x JOIN e ON x.id = e.src JOIN outdeg o ON o.src = x.id "
+            f"GROUP BY e.dst) c ON v.id = c.id)"
+        )
+    return f"WITH {', '.join(ctes)} SELECT id, ROUND(rank, 8) AS pr FROM x{iters}"
 
 
 # ---------------------------------------------------------------------------
@@ -475,14 +519,27 @@ _MM_FRAME_SQL = (
 
 
 def q_mm_features(spark, sf_dir):
-    """Arrow-batched media feature extraction (rows-only: the deterministic
-    fake decode is numpy-side; plumbing/schema is what the check pins)."""
+    """Arrow-batched media feature extraction. Fully DuckDB-oracled: the
+    deterministic fake decode is md5-byte arithmetic in float64, so the
+    oracle recomputes the identical doubles from the same md5 hex."""
     from deeprank_spark.operators.multimodal import extract_features, synthetic_media
 
     f = extract_features(synthetic_media(spark, n=100))
     return f.select(
         "media_id", "decode_ok", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+_MM_FEATURES_SQL = (
+    # payload bytes 0..3 are the first four hex pairs of md5(id || '42')
+    # (synthetic_media); feature[0] = mean(bytes[0:4])/255 in float64
+    # (_decode_image_bytes), i.e. ((b0+b1+b2+b3)/4)/255.
+    "SELECT media_id, 'ok' AS decode_ok, "
+    "ROUND(CAST(CAST('0x' || substr(h, 1, 2) AS INT) + CAST('0x' || substr(h, 3, 2) AS INT) + "
+    "CAST('0x' || substr(h, 5, 2) AS INT) + CAST('0x' || substr(h, 7, 2) AS INT) AS DOUBLE) "
+    "/ 4 / 255, 6) AS f0 "
+    "FROM (SELECT i AS media_id, md5(i || '42') AS h FROM range(0, 100) t(i))"
+)
 
 
 def q_dr_query_answers(spark, sf_dir):
@@ -861,7 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": q_g_components,
         "g_triangles": q_g_triangles,
         "g_lpa2": q_g_lpa,
-        "g_pagerank_full": q_g_pagerank_full,  # rows-only (iterative fixpoint)
+        "g_pagerank_full": q_g_pagerank_full,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -877,7 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         # multimodal plumbing
         "mm_frame_plan": q_mm_frame_plan,
-        "mm_features": q_mm_features,  # rows-only (numpy fake decode)
+        "mm_features": q_mm_features,
         # relational operator coverage
         "topk_orders": q_topk_orders,
         "first_occurrence": q_first_occurrence,
@@ -909,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src"
         ),
         "g_pagerank3": _pagerank_sql(),
+        "g_pagerank_full": _pagerank_full_sql(),
         "g_components": _CC_SQL,
         "g_triangles": _TRI_SQL,
         "g_lpa2": _lpa_sql(),
@@ -919,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_SQL,
         "emb_cosine_pairs": _EMB_PAIRS_SQL,
         "mm_frame_plan": _MM_FRAME_SQL,
+        "mm_features": _MM_FEATURES_SQL,
         "cube_agg": _CUBE_SQL,
         "token_count": _TOKEN_SQL,
         "fingerprint": _FP_SQL,

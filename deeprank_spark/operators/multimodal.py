@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -39,10 +39,14 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# feature is array<double>: the fake decode computes in float64 so the
+# DuckDB differential oracle (same bytes, same double arithmetic) matches
+# bit-for-bit; a real embedding extractor would downcast to float32 at the
+# sink, not mid-pipeline.
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("feature", ArrayType(FloatType(), False), False),
+        StructField("feature", ArrayType(DoubleType(), False), False),
         StructField("decode_ok", StringType(), False),
     ]
 )
@@ -78,7 +82,7 @@ def _decode_image_bytes(payload: bytes) -> np.ndarray:
     """STUB: real decode (PIL.Image.open / ffmpeg) is unavailable in this
     container. Deterministic fake: payload bytes -> 8-dim float feature.
     Raises NotImplementedError for non-fake use via decode_strict()."""
-    arr = np.frombuffer(payload[:32], dtype=np.uint8).astype(np.float32)
+    arr = np.frombuffer(payload[:32], dtype=np.uint8).astype(np.float64)
     if arr.size < 32:
         arr = np.pad(arr, (0, 32 - arr.size))
     return arr.reshape(8, 4).mean(axis=1) / 255.0

@@ -395,12 +395,12 @@ def pagerank_distributed(
             if verbose:
                 print(f"[pagerank] step={step} l1={err:.3e} wall_ms={wall_ms:.0f}", flush=True)
 
-            if step % checkpoint_interval == 0 or err < n * tol:
+            if step % checkpoint_interval == 0 or (tol > 0 and err < n * tol):
                 state = _write_superstep(
                     state, ckpt_base, step, wall_ms, P, durable=durable
                 )
                 kept.clear()  # parquet re-read is lineage-free: old blocks can go
-            if err < n * tol:
+            if tol > 0 and err < n * tol:
                 converged = True
                 break
     finally:
@@ -410,6 +410,10 @@ def pagerank_distributed(
         base.unpersist()
         verts.unpersist()
 
+    if tol <= 0:
+        # fixed-iteration mode: exactly max_iter supersteps, deterministic
+        # superstep count (what a SQL-unrolled differential oracle needs)
+        converged = True
     if not converged:
         raise RuntimeError(f"pagerank_distributed: no convergence in {max_iter} supersteps")
     return PageRankRun(state, step, deltas, time.time() - t0, converged)
