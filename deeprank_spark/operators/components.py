@@ -99,8 +99,32 @@ def components_per_conv(gedges: DataFrame) -> DataFrame:
 def components_distributed(
     edges: DataFrame, id_cols: tuple = ("src", "dst"), max_iter: int = 100
 ) -> DataFrame:
-    """Hash-min label exchange on one giant graph: label'(v) =
-    min(label(v), min over undirected neighbors). Returns (id, component)."""
+    """Hash-min label exchange WITH pointer jumping on one giant graph.
+
+    Each round does two things:
+      1. hash-min:  m(v) = min(label(v), min over undirected neighbors'
+         labels) — the classic label exchange;
+      2. pointer jump (shortcutting): label'(v) = m(m(v)) — every vertex
+         re-reads the label of the vertex its label points at.
+    Labels only decrease and always name a vertex inside v's own component
+    (min of component members), so correctness is unchanged; the jump makes
+    label reach DOUBLE per round instead of growing by one hop, turning the
+    O(diameter) rounds of plain hash-min into O(log n) — a 10^4-vertex path
+    graph converges in ~2*log2(n) rounds instead of 10^4 (see
+    tests/test_kernels.py::test_components_path_graph_logarithmic_rounds).
+    This is the pointer-doubling alternative to Kiveris et al.'s
+    large-star/small-star; both give logarithmic round counts at 100 TB
+    scale where component diameters are unbounded.
+
+    Cost per round: one shuffle for the neighbor gather (groupBy id), one
+    shuffle for the jump join (on the label key). Skew note: late rounds
+    concentrate join keys on component minima; AQE skew-join handles the
+    giant-component hot key, and the jump join's build side (distinct
+    labels) shrinks geometrically.
+
+    Returns (id, component) with component = min vertex id of the
+    component.
+    """
     src, dst = id_cols
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
@@ -123,16 +147,22 @@ def components_distributed(
             .groupBy(sym["b"].alias("id"))
             .agg(F.min("component").alias("nbr"))
         )
+        m = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+            ).alias("m"),
+            F.col("component").alias("prev"),
+        )
+        # pointer jump: label'(v) = m(m(v)). m is total over the vertex set
+        # and m(x) <= x, so the lookup always resolves.
+        jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
         new = (
-            labels.join(nbr_min, "id", "left")
+            m.join(jump, m["m"] == jump["jid"])
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
-                ).alias("component"),
-                (F.coalesce(F.col("nbr"), F.col("component")) < F.col("component")).alias(
-                    "chg"
-                ),
+                F.col("jlbl").alias("component"),
+                (F.col("jlbl") != F.col("prev")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )

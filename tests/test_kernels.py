@@ -98,3 +98,19 @@ def test_triangles_distributed(spark):
         assert got.get(node, 0) == c, node
     total_got = sum(got.values())
     assert total_got == sum(exp.values())
+
+
+def test_components_path_graph_logarithmic_rounds(spark):
+    """Pointer jumping must converge on a high-diameter graph in O(log n)
+    rounds: a 4096-vertex path (diameter 4095) with max_iter capped at
+    2*log2(n)+4 = 28. Plain hash-min would need ~4096 rounds and return
+    wrong labels under this cap."""
+    import math
+
+    n = 4096
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cap = 2 * int(math.log2(n)) + 4
+    got = {r["id"]: r["component"] for r in components_distributed(e, max_iter=cap).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
