@@ -79,9 +79,17 @@ def flagship(
     p = params or CraftParams()
     d = digest(transcripts, p)
     r = ranks(d, p).persist()
+    r_gated = r
+    if p.giant_comp:
+        # maxcc gate applies to bestNodes-derived outputs (keywords,
+        # summary) only — bestSVOs reads raw ranks (deepRank.py:563-599)
+        from .operators.components import components_per_conv
+        from .operators.extract import giant_component_gate
+
+        r_gated = giant_component_gate(r, components_per_conv(d.gedges))
     return {
-        "keywords": keywords(r, d.noun_set, params=p),
-        "summary": summary(r, d.parsed, params=p).orderBy("conv_id", "turn_idx"),
+        "keywords": keywords(r_gated, d.noun_set, params=p),
+        "summary": summary(r_gated, d.parsed, params=p).orderBy("conv_id", "turn_idx"),
         "relations": scored_svos(d.svo, r, params=p),
         "ranks": r,
         "digest": d,

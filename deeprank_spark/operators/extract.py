@@ -60,6 +60,46 @@ def adjusted_ranks(ranks: DataFrame, parsed: DataFrame) -> DataFrame:
     )
 
 
+def giant_component_gate(
+    ranks_adj: DataFrame,
+    components: DataFrame,
+    partition_cols=("conv_id",),
+) -> DataFrame:
+    """maxcc gate (deepRank.py:398-406 pagerank, :414-431 bestNodes):
+    when giant_comp is enabled and a conversation's graph has FEWER than 4
+    components, restrict extraction candidates to the largest component;
+    conversations with >= 4 components pass through unchanged. The
+    reference gates bestNodes only, so callers apply this to the keywords/
+    summary inputs and leave scored_svos ungated (bestSVOs,
+    deepRank.py:563-599, reads raw ranks).
+
+    `components` is components_per_conv output (conv_id, kind, key,
+    component) — WEAKLY connected components, the engine's documented
+    divergence from the reference's strongly_connected_components
+    (SURVEY §2.9); the pytest oracle applies the same weak-CC gate. Ties
+    in component size break on the smaller component label so the gate is
+    deterministic."""
+    sizes = components.groupBy(*partition_cols, "component").agg(
+        F.count("*").alias("csize")
+    )
+    w_rank = Window.partitionBy(*partition_cols).orderBy(
+        F.desc("csize"), F.col("component")
+    )
+    w_all = Window.partitionBy(*partition_cols)
+    giant = (
+        sizes.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_comps", F.count("*").over(w_all))
+        .where(F.col("rn") == 1)
+        .select(*partition_cols, F.col("component").alias("giant"), "n_comps")
+    )
+    allowed = (
+        components.join(giant, list(partition_cols))
+        .where((F.col("n_comps") >= 4) | (F.col("component") == F.col("giant")))
+        .select(*partition_cols, "kind", "key")
+    )
+    return ranks_adj.join(allowed, [*partition_cols, "kind", "key"], "leftsemi")
+
+
 def _topk(df: DataFrame, k: int, partition_cols=("conv_id",)) -> DataFrame:
     w = Window.partitionBy(*partition_cols).orderBy(
         F.desc("rank"), F.col("kind"), node_order_key(F.col("kind"), F.col("key"))

@@ -203,10 +203,30 @@ def has_noun(dg: DocGraph, w: str) -> bool:
     return any(v in dg.noun_set for v in w.split(" "))
 
 
-def best_words(dg: DocGraph, ranks: dict, k: int) -> list:
+def _node_token(n) -> str:
+    return "S%s" % n if isinstance(n, int) else "W" + str(n)
+
+
+def giant_comp_nodes(dg: DocGraph):
+    """maxcc (deepRank.py:398-406): None unless the graph has 1-3
+    components, else the largest one. Weak CCs (engine divergence,
+    SURVEY §2.9); size ties break on the smaller component label (min
+    node token), matching extract.giant_component_gate."""
+    g = nx_graph(dg)
+    if g.number_of_nodes() == 0:
+        return None
+    ccs = list(nx.connected_components(g.to_undirected()))
+    if len(ccs) >= 4:
+        return None
+    return min(ccs, key=lambda c: (-len(c), min(_node_token(n) for n in c)))
+
+
+def best_words(dg: DocGraph, ranks: dict, k: int, maxcc=None) -> list:
     out = []
     for n in ordered_nodes(ranks):
         if isinstance(n, int) or not isinstance(n, str):
+            continue
+        if maxcc is not None and n not in maxcc:
             continue
         if not maybe_word(n) or is_stop_word(n) or not has_noun(dg, n):
             continue
@@ -216,11 +236,13 @@ def best_words(dg: DocGraph, ranks: dict, k: int) -> list:
     return out
 
 
-def best_sentences(dg: DocGraph, ranks: dict, k: int) -> list:
+def best_sentences(dg: DocGraph, ranks: dict, k: int, maxcc=None) -> list:
     """Top-k clean sentences by rank, reordered into document order."""
     picked = []
     for n in ordered_nodes(ranks):
         if not isinstance(n, int):
+            continue
+        if maxcc is not None and n not in maxcc:
             continue
         if n >= len(dg.parsed) or not is_clean_sent(dg.parsed[n].lemmas):
             continue

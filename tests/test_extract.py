@@ -70,3 +70,80 @@ def test_flagship_tiny_sanity(spark):
     kw = out["keywords"].where("conv_id = 'c_cat'").collect()
     words = {r["keyword"] for r in kw}
     assert "cat" in words or "mat" in words
+
+
+def test_giant_comp_gate_matches_oracle(spark):
+    """CraftParams(giant_comp=True): keywords/summary restricted to the
+    giant weak component when a conversation has < 4 components; SVO
+    relations stay ungated (deepRank.py:398-406, 414-431, 563-599)."""
+    import random as _random
+
+    import pandas as pd
+
+    from deeprank_spark.transcripts import _EPOCH, _rows
+
+    rng = _random.Random(7)
+    rows = []
+    # 2 disjoint vocab islands -> 2 weak components -> gate active
+    rows += _rows(
+        "g_two",
+        [
+            "Cats sit on mats.",
+            "Cats eat fishes.",
+            "Robots build engines.",
+        ],
+        _EPOCH,
+        rng,
+    )
+    # 4+ islands -> gate inactive (lc >= 4 in the reference)
+    rows += _rows(
+        "g_many",
+        [
+            "Cats sleep.",
+            "Dogs bark.",
+            "Birds sing.",
+            "Fishes swim.",
+            "Horses run.",
+        ],
+        _EPOCH,
+        rng,
+    )
+    pdf = pd.DataFrame(rows)
+    params = CraftParams(giant_comp=True)
+    out = flagship(transcripts_sdf(spark, pdf), params)
+
+    kw = {}
+    for r in out["keywords"].collect():
+        kw.setdefault(r["conv_id"], []).append((-r["rank"], r["keyword"]))
+    kw = {c: [w for _, w in sorted(v)] for c, v in kw.items()}
+    summ = {}
+    for r in out["summary"].collect():
+        summ.setdefault(r["conv_id"], []).append(r["turn_idx"])
+    svos = {}
+    for r in out["relations"].collect():
+        svos.setdefault(r["conv_id"], set()).add(
+            (r["subj"], r["verb"], r["obj"], r["sent_id"])
+        )
+
+    gate_seen_active = False
+    for conv, (dg, ranks) in _oracle_per_conv(pdf, params).items():
+        maxcc = otg.giant_comp_nodes(dg)
+        if maxcc is not None and len(maxcc) < len(otg.nx_graph(dg)):
+            gate_seen_active = True
+        exp_kw = otg.best_words(dg, ranks, params.word_count, maxcc=maxcc)
+        assert kw.get(conv, []) == exp_kw, (conv, kw.get(conv, []), exp_kw)
+        exp_summary = otg.best_sentences(dg, ranks, params.sent_count, maxcc=maxcc)
+        assert summ.get(conv, []) == exp_summary, conv
+        # relations are ungated
+        exp_svo = {tuple(e) for e in otg.best_svos(dg, ranks, params.rel_count)}
+        assert svos.get(conv, set()) == exp_svo, conv
+    assert gate_seen_active, "fixture never activated the gate"
+
+    # default params: gate off, everything must match the ungated oracle
+    out0 = flagship(transcripts_sdf(spark, pdf), CraftParams())
+    kw0 = {}
+    for r in out0["keywords"].collect():
+        kw0.setdefault(r["conv_id"], []).append((-r["rank"], r["keyword"]))
+    kw0 = {c: [w for _, w in sorted(v)] for c, v in kw0.items()}
+    for conv, (dg, ranks) in _oracle_per_conv(pdf, CraftParams()).items():
+        assert kw0.get(conv, []) == otg.best_words(dg, ranks, CraftParams().word_count)
