@@ -47,9 +47,16 @@ def four_matcher_answers(
     doc graphs, expand query terms through the taxonomy dimension, run the
     four matchers, vote, score. queries: (conv_id, q_idx, text)."""
     from ..functions.taxonomy import wn_rel_table
-    from .query import _digest_queries, personalization_vectors, rerank_for_queries
+    from ..functions.wordsim import word_sim_table
+    from .query import (
+        _digest_queries,
+        expand_quest_memory,
+        personalization_vectors,
+        rerank_for_queries,
+    )
 
     p = params or CraftParams()
+    queries = expand_quest_memory(queries, talk)
     qparsed, qmulti, _qged = _digest_queries(queries, p)
     qsep = qparsed.select(
         F.split_part(F.col("conv_id"), F.lit("\x1f"), F.lit(1)).alias("conv_id"),
@@ -69,9 +76,33 @@ def four_matcher_answers(
     q_exp = q_words.join(
         F.broadcast(wn), q_words["term"] == wn["lemma"]
     ).select("conv_id", "q_idx", F.col("related").alias("term"), "r")
-    q_terms = q_words.union(q_exp).groupBy("conv_id", "q_idx", "term").agg(
-        F.max("r").alias("r")
+    # query_sim expansion (qpro.pro:91-95 via sims_to_prolog,
+    # qpro.py:264-274): doc lemmas similar to a query lemma under the
+    # wup+overlap scorer (>0.7) join in with rank R_query * rank_doc —
+    # rank(W,RR) requires W ranked in this (conv, query) graph, hence the
+    # join against the personalized rerank.
+    sim_tbl = word_sim_table(parsed.sparkSession)
+    rr_w = rr.where(F.col("kind") == "W").select(
+        "conv_id", "q_idx", F.col("key").alias("doc_term"), F.col("rank").alias("rr")
     )
+    q_sim = (
+        q_words.join(F.broadcast(sim_tbl), q_words["term"] == sim_tbl["lemma_a"])
+        .join(
+            rr_w,
+            (F.col("lemma_b") == F.col("doc_term"))
+            & (q_words["conv_id"] == rr_w["conv_id"])
+            & (q_words["q_idx"] == rr_w["q_idx"]),
+        )
+        .select(
+            q_words["conv_id"],
+            q_words["q_idx"],
+            F.col("doc_term").alias("term"),
+            (F.col("r") * F.col("rr")).alias("r"),
+        )
+    )
+    q_terms = q_words.union(q_exp).union(q_sim).groupBy(
+        "conv_id", "q_idx", "term"
+    ).agg(F.max("r").alias("r"))
 
     q_edges = qmulti.where(
         (F.col("src_kind") == "W") & (F.col("dst_kind") == "W")

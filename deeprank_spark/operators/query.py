@@ -31,6 +31,53 @@ from .pagerank import pagerank_per_conv
 _QSEP = "\x1f"
 
 
+def expand_quest_memory(queries: DataFrame, talk: TalkParams | None = None) -> DataFrame:
+    """Dialog memory window — process_quest (qpro.py:125-134): the digested
+    question text is the concatenation, NEWEST FIRST, of the last
+    `quest_memory` distinct questions of the conversation so far, each
+    suffixed with ' '; re-asking a question moves it to the most-recent
+    slot instead of duplicating it. quest_memory=1 (the reference default)
+    keeps only the current question, so the expansion is the identity and
+    this returns the input unchanged.
+
+    Relational form: for query i, every prior question's LAST occurrence
+    index <= i ranks the memory (max_by + row_number); dialog histories
+    are short, so the bounded per-conversation self-join is cheap and
+    stays fully distributed (no per-conv collect)."""
+    t = talk or TalkParams()
+    k = t.quest_memory
+    if k <= 1:
+        return queries
+    cur = queries.select("conv_id", F.col("q_idx").alias("i"))
+    hist = queries.select(
+        "conv_id", F.col("q_idx").alias("j"), F.col("text").alias("jtext")
+    )
+    last_occ = (
+        cur.join(hist, "conv_id")
+        .where(F.col("j") <= F.col("i"))
+        .groupBy("conv_id", "i", "jtext")
+        .agg(F.max("j").alias("last_occ"))
+    )
+    w = Window.partitionBy("conv_id", "i").orderBy(F.desc("last_occ"))
+    mem = (
+        last_occ.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("conv_id", "i")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct((-F.col("last_occ")).alias("o"), F.col("jtext").alias("t")))
+                    ),
+                    lambda s: F.concat(s["t"], F.lit(" ")),
+                ),
+            ).alias("text")
+        )
+    )
+    return mem.select("conv_id", F.col("i").alias("q_idx"), "text")
+
+
 def _digest_queries(queries: DataFrame, params: CraftParams):
     """queries(conv_id, q_idx, text) -> (qparsed, q multi_edges, q gedges)
     with qkey = conv_id + sep + q_idx as the grouping conversation id."""
@@ -122,6 +169,7 @@ def answer_queries(
     p = params or CraftParams()
     t = talk or TalkParams()
 
+    queries = expand_quest_memory(queries, t)
     _, qmulti, _ = _digest_queries(queries, p)
     pers = personalization_vectors(queries, p)
     rr = rerank_for_queries(gedges, pers, p)

@@ -51,3 +51,67 @@ def test_answers_match_oracle(spark):
         doc = otg.digest(texts[conv], params)
         exp = otg.query_answers(doc, qtext, params, talk.max_answers)
         assert got.get((conv, qi), []) == exp, (conv, qtext, got.get((conv, qi)), exp)
+
+
+def test_expand_quest_memory_window(spark):
+    """process_quest (qpro.py:125-134): newest-first concat of the last K
+    distinct questions, re-asked question moves to the most-recent slot;
+    K=1 (reference default) is the identity."""
+    from deeprank_spark.config import TalkParams
+    from deeprank_spark.operators.query import expand_quest_memory
+
+    qs = spark.createDataFrame(
+        [
+            ("c1", 0, "where is the cat?"),
+            ("c1", 1, "who feeds it?"),
+            ("c1", 2, "where is the cat?"),  # re-ask of q0
+            ("c1", 3, "does the dog bark?"),
+            ("c2", 0, "hello?"),
+        ],
+        "conv_id string, q_idx int, text string",
+    )
+    out1 = expand_quest_memory(qs, TalkParams(quest_memory=1))
+    assert out1 is qs  # identity, no plan change
+
+    got = {
+        (r["conv_id"], r["q_idx"]): r["text"]
+        for r in expand_quest_memory(qs, TalkParams(quest_memory=2)).collect()
+    }
+    assert got[("c1", 0)] == "where is the cat? "
+    assert got[("c1", 1)] == "who feeds it? where is the cat? "
+    # re-ask: 'where is the cat?' moved to newest; previous = q1
+    assert got[("c1", 2)] == "where is the cat? who feeds it? "
+    assert got[("c1", 3)] == "does the dog bark? where is the cat? "
+    assert got[("c2", 0)] == "hello? "
+    assert len(got) == 5
+
+
+def test_quest_memory_changes_answers(spark):
+    """With memory on, a follow-up question inherits the previous
+    question's terms and can resolve an otherwise unanswerable query."""
+    from deeprank_spark.config import TalkParams
+    from deeprank_spark.engine import digest as spark_digest
+    from deeprank_spark.operators.query import answer_queries
+    from deeprank_spark.transcripts import tiny_transcripts, transcripts_sdf
+
+    d = spark_digest(transcripts_sdf(spark, tiny_transcripts()))
+    qs = spark.createDataFrame(
+        [
+            ("c_mixed", 0, "Who builds the graph engine?"),
+            ("c_mixed", 1, "What ranks?"),
+        ],
+        "conv_id string, q_idx int, text string",
+    )
+    def answers_for(t):
+        rows = answer_queries(d.parsed, d.multi_edges, d.gedges, qs, talk=t).collect()
+        out = {}
+        for r in rows:
+            out.setdefault((r["conv_id"], r["q_idx"]), set()).add(r["sent_text"])
+        return out
+
+    a_off = answers_for(TalkParams(quest_memory=1))
+    a_on = answers_for(TalkParams(quest_memory=3))
+    # q0 sees the same effective text either way
+    assert a_off.get(("c_mixed", 0)) == a_on.get(("c_mixed", 0))
+    # q1's effective text differs; the answer set must differ too
+    assert a_off.get(("c_mixed", 1)) != a_on.get(("c_mixed", 1))
