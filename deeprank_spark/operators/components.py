@@ -15,6 +15,7 @@ round; converges in O(diameter) rounds.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -24,19 +25,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 
-def _parquet_reset(df: DataFrame, tag: str, step: int) -> DataFrame:
-    """Round-trip iterative state through parquet (tmpfs when available):
+class _ResetDir:
+    """Round-trips iterative state through parquet (tmpfs when available):
     the only true lineage-truncation point. localCheckpoint keeps the full
     RDD lineage as its recovery path, so if the driver GC drops earlier
     step DataFrames their blocks are evicted and later steps silently
     recompute a doubly-referenced chain — the loops below also hold strong
-    refs to every checkpointed step between resets (see pagerank.py)."""
-    parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    path = os.path.join(
-        tempfile.mkdtemp(prefix=f"deeprank_{tag}_", dir=parent), f"s{step}"
-    )
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    refs to every checkpointed step between resets (see pagerank.py).
+
+    Owns ONE tempdir per run and deletes the previous round's parquet as
+    soon as the next round-trip is materialized, so long iterative jobs
+    hold at most one reset on the RAM-backed tmpfs; finalize() eagerly
+    re-materializes the final state into block storage and removes the
+    tempdir entirely."""
+
+    def __init__(self, tag: str):
+        parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.root = tempfile.mkdtemp(prefix=f"deeprank_{tag}_", dir=parent)
+        self._prev: str | None = None
+
+    def reset(self, df: DataFrame, step: int) -> DataFrame:
+        path = os.path.join(self.root, f"s{step}")
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        if self._prev is not None:
+            shutil.rmtree(self._prev, ignore_errors=True)
+        self._prev = path
+        return out
+
+    def finalize(self, df: DataFrame) -> DataFrame:
+        """Detach `df` from the tempdir (eager localCheckpoint reads the
+        last parquet into blocks) and delete the tempdir."""
+        if self._prev is not None:
+            df = df.localCheckpoint(eager=True)
+        shutil.rmtree(self.root, ignore_errors=True)
+        return df
 
 _SEP = ""  # kind is a single char; token = kind + key parses positionally
 
@@ -141,6 +164,7 @@ def components_distributed(
         .localCheckpoint(eager=True)
     )
     kept = []  # strong refs: keep checkpoint blocks alive between resets
+    rdir = _ResetDir("cc")
     for it in range(max_iter):
         nbr_min = (
             labels.join(sym, labels["id"] == sym["a"])
@@ -170,9 +194,9 @@ def components_distributed(
         kept.append(new)
         labels = new.select("id", "component")
         if (it + 1) % 5 == 0:
-            labels = _parquet_reset(labels, "cc", it)
+            labels = rdir.reset(labels, it)
             kept.clear()
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    return rdir.finalize(labels)

@@ -102,9 +102,10 @@ def lpa_distributed(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
-    from .components import _parquet_reset
+    from .components import _ResetDir
 
     kept = []  # strong refs: keep checkpoint blocks alive between resets
+    rdir = _ResetDir("lpa")
     for it in range(max_iter):
         hist = (
             labels.join(sym, labels["id"] == sym["a"])
@@ -131,9 +132,9 @@ def lpa_distributed(
         kept.append(new)
         labels = new.select("id", "label")
         if (it + 1) % 5 == 0:
-            labels = _parquet_reset(labels, "lpa", it)
+            labels = rdir.reset(labels, it)
             kept.clear()
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    return rdir.finalize(labels)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 
@@ -217,6 +218,14 @@ def pagerank_distributed(
     supersteps plus a per-partition lineage table; `resume=True` restarts
     from the latest complete superstep and reproduces the identical final
     state (same floating-point schedule).
+
+    NOT re-entrant on a shared SparkSession: the loop pins
+    spark.sql.shuffle.partitions to P and disables AQE partition
+    coalescing for its duration (restored in finally) so superstep
+    co-partitioning survives; a concurrent query on the SAME session would
+    run under those settings. Kernel jobs own their session (spark-submit
+    per job, jobs/run_flagship.py); give concurrent interactive work its
+    own session or serialize kernel calls.
     """
     spark = edges.sparkSession
     t0 = time.time()
@@ -336,6 +345,7 @@ def pagerank_distributed(
     converged = False
     step = start_step
     kept = []  # strong refs: keep checkpoint blocks alive between resets
+    prev_ckpt = None  # non-durable: last superstep dir kept on tmpfs
     try:
         while step < max_iter:
             step += 1
@@ -400,6 +410,13 @@ def pagerank_distributed(
                     state, ckpt_base, step, wall_ms, P, durable=durable
                 )
                 kept.clear()  # parquet re-read is lineage-free: old blocks can go
+                if not durable:
+                    # non-durable runs are lineage resets, not recovery
+                    # points: once the new round-trip exists the previous
+                    # superstep dir on tmpfs is dead weight — delete it
+                    if prev_ckpt is not None:
+                        shutil.rmtree(prev_ckpt, ignore_errors=True)
+                    prev_ckpt = os.path.join(ckpt_base, f"superstep={step}")
             if tol > 0 and err < n * tol:
                 converged = True
                 break
@@ -415,7 +432,14 @@ def pagerank_distributed(
         # superstep count (what a SQL-unrolled differential oracle needs)
         converged = True
     if not converged:
+        if not durable:
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
         raise RuntimeError(f"pagerank_distributed: no convergence in {max_iter} supersteps")
+    if not durable:
+        # detach the final state from the tempdir (eager localCheckpoint
+        # reads the last parquet into blocks) and free the tmpfs space
+        state = state.localCheckpoint(eager=True)
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return PageRankRun(state, step, deltas, time.time() - t0, converged)
 
 

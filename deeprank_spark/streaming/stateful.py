@@ -48,37 +48,61 @@ COUNT_OUT = StructType(
 _COUNT_STATE = StructType([StructField("total", LongType(), False)])
 
 
-def _first_seen_fn(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n = 0
-    first_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        if len(pdf) and "ts" in pdf.columns:
-            ts = pdf["ts"].min()
-            first_ts = ts if first_ts is None else min(first_ts, ts)
-    if state.exists:
-        return  # key already emitted in an earlier batch: drop duplicates
-    state.update((1,))
-    yield pd.DataFrame({"k": [key[0]], "first_ts": [first_ts], "n_in_batch": [n]})
+def _make_first_seen_fn(ttl_ms: int | None):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL expiry: forget the key; a later re-occurrence re-emits.
+            state.remove()
+            return
+        n = 0
+        first_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf) and "ts" in pdf.columns:
+                ts = pdf["ts"].min()
+                first_ts = ts if first_ts is None else min(first_ts, ts)
+        if state.exists:
+            if ttl_ms is not None:
+                # sliding TTL: every sighting renews the eviction clock
+                state.setTimeoutDuration(ttl_ms)
+            return  # key already emitted in an earlier batch: drop duplicates
+        state.update((1,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"k": [key[0]], "first_ts": [first_ts], "n_in_batch": [n]})
+
+    return fn
 
 
-def first_seen_filter(stream: DataFrame, key_col: str = "k") -> DataFrame:
+def first_seen_filter(
+    stream: DataFrame, key_col: str = "k", state_ttl_ms: int | None = None
+) -> DataFrame:
     """Emit each key exactly once (first batch it appears in).
 
     Input needs `key_col` (string) and optionally `ts`. Append-mode sink.
-    """
+
+    state_ttl_ms bounds the per-key state on a genuinely infinite stream:
+    a key idle for that long is evicted (ProcessingTimeTimeout) and a later
+    re-occurrence re-emits — the standard bounded-state dedup contract
+    (every sighting renews the clock). Default None keeps state forever,
+    which is only appropriate for replay/backfill jobs whose key space is
+    known to fit."""
     src = stream.select(
         stream[key_col].alias("k"),
         *(["ts"] if "ts" in stream.columns else []),
     )
     return src.groupBy("k").applyInPandasWithState(
-        _first_seen_fn,
+        _make_first_seen_fn(state_ttl_ms),
         outputStructType=FIRST_SEEN_OUT,
         stateStructType=_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -68,3 +68,30 @@ def test_running_counts_accumulate(spark, tmp_path):
     for r in rows:
         latest[r["k"]] = max(latest.get(r["k"], 0), r["total"])
     assert latest == {"x": 3, "y": 3}
+
+
+def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
+    """With state_ttl_ms, an idle key's marker is evicted (on the next
+    batch after expiry) and a later re-occurrence re-emits — the bounded-
+    state contract. ProcessingTimeTimeout fires for groups WITHOUT data in
+    the batch, so eviction happens on the intermediate batch."""
+    import time
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run(keys, base_min):
+        _rows(spark, keys, base_min=base_min).write.mode("append").parquet(src)
+        _run_stream(
+            spark, src, ck,
+            lambda s: first_seen_filter(s, state_ttl_ms=500),
+            out, "append",
+        )
+
+    run(["a"], 0)
+    time.sleep(1.5)           # let a's TTL lapse
+    run(["b"], 100)           # a has no data here -> timeout fires, state dropped
+    run(["a"], 200)           # re-occurrence after eviction -> re-emit
+    ks = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert ks == ["a", "a", "b"], ks
