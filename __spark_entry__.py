@@ -435,27 +435,39 @@ _EMB_PAIRS_SQL = (
 )
 
 
+_ANN_TABLES, _ANN_PLANES = 12, 3  # 1-(1-p1^3)^12 >= 0.94 down to cosine ~0.3
+
+
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k with hamming-1 multi-probe. Fully
-    DuckDB-oracled: hyperplanes are md5-derived ("plane|dim|seed"), so the
-    oracle recomputes bit-identical buckets, probes and rescoring."""
+    """Multi-table LSH approximate top-k (12 tables x 3 planes, exact
+    rescore): the multi-table lever is what reaches recall >= 0.9 on this
+    fixture's WEAKLY similar neighbors (top-k cosines ~0.3-0.5, per-plane
+    collision prob ~0.6, where single-table multi-probe saturates ~0.36 —
+    measured, see bench.py ann_lsh_recall_at_5). Fully DuckDB-oracled:
+    hyperplanes are md5-derived ("plane|dim|seed"), so the oracle
+    recomputes bit-identical buckets and rescoring."""
     from deeprank_spark.operators.similarity import ann_topk_lsh
 
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 1).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ann_topk_lsh(emb, queries, k=5, num_planes=6, probe_radius=1)
+    out = ann_topk_lsh(
+        emb, queries, k=5,
+        num_planes=_ANN_PLANES, num_tables=_ANN_TABLES, probe_radius=0,
+    )
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
 
 
-def _ann_bucket_sql(vexpr: str, planes: int = 6, seed: int = 42) -> str:
-    """DuckDB expression recomputing similarity._sign_bit buckets exactly:
-    same md5('plane|dim|seed') hyperplane components, same bit weights."""
+def _ann_bucket_sql(vexpr: str, planes: int, seed: int, table: int = 0) -> str:
+    """DuckDB expression recomputing similarity._combined_bucket exactly:
+    same md5('plane|dim|seed') hyperplane components (global plane index
+    table*planes+p), same bit weights, same table keyspace offset."""
     terms = []
     for p in range(planes):
+        g = table * planes + p
         comp = (
-            f"((CAST(CAST('0x' || substr(md5('{p}|' || i || '|{seed}'), 1, 15) "
+            f"((CAST(CAST('0x' || substr(md5('{g}|' || i || '|{seed}'), 1, 15) "
             "AS UBIGINT) AS BIGINT) % 2000003) / 1000001.5 - 1.0)"
         )
         dot = (
@@ -463,24 +475,28 @@ def _ann_bucket_sql(vexpr: str, planes: int = 6, seed: int = 42) -> str:
             f"i -> {vexpr}[CAST(i AS INT) + 1] * {comp}))"
         )
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (planes - 1 - p)} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    return "(" + " + ".join(terms) + f" + {table * (1 << planes)})"
 
 
-def _ann_lsh_sql(planes: int = 6, seed: int = 42, k: int = 5) -> str:
-    probe_list = ", ".join(
-        ["qb"] + [f"xor(qb, {1 << j})" for j in range(planes)]
-    )
+def _ann_lsh_sql(
+    planes: int = _ANN_PLANES,
+    tables: int = _ANN_TABLES,
+    seed: int = 42,
+    k: int = 5,
+) -> str:
+    cb = ", ".join(_ann_bucket_sql("v", planes, seed, t) for t in range(tables))
+    qcb = ", ".join(_ann_bucket_sql("qv", planes, seed, t) for t in range(tables))
     return (
-        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
-        f"b AS (SELECT vec_id, v, {_ann_bucket_sql('v', planes, seed)} AS bucket FROM e), "
-        "q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id % 100 = 1), "
-        f"probes AS (SELECT query_id, qv, p.bucket FROM q, UNNEST([{probe_list}]) AS p(bucket)), "
-        "cand AS (SELECT DISTINCT query_id, vec_id FROM probes JOIN b USING (bucket) "
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS MATERIALIZED (SELECT vec_id, t.bucket FROM e, UNNEST([{cb}]) AS t(bucket)), "
+        "q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 1), "
+        f"qb AS (SELECT query_id, t.bucket FROM q, UNNEST([{qcb}]) AS t(bucket)), "
+        "cand AS (SELECT DISTINCT query_id, vec_id FROM qb JOIN b USING (bucket) "
         "  WHERE query_id <> vec_id), "
         "scored AS (SELECT c.query_id, c.vec_id, "
-        "  list_dot_product(q.qv, b.v) / (sqrt(list_dot_product(q.qv, q.qv)) * "
-        "  sqrt(list_dot_product(b.v, b.v))) AS cosine "
-        "  FROM cand c JOIN q ON c.query_id = q.query_id JOIN b ON c.vec_id = b.vec_id), "
+        "  list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        "  sqrt(list_dot_product(e.v, e.v))) AS cosine "
+        "  FROM cand c JOIN q ON c.query_id = q.query_id JOIN e ON c.vec_id = e.vec_id), "
         "ranked AS (SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER "
         "  (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
         f"SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rn FROM ranked WHERE rn <= {k}"
@@ -984,7 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "ann_cosine_topk": _ANN_SQL,
-        "ann_lsh_topk": _ann_lsh_sql(planes=6, seed=42, k=5),
+        "ann_lsh_topk": _ann_lsh_sql(),
         "topk_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"

@@ -229,6 +229,17 @@ def cosine_near_pairs(
     )
 
 
+def _combined_bucket(vec_col: str, table: int, planes: int, seed: int) -> F.Column:
+    """Bucket of table `table` (global planes table*planes..+planes-1)
+    offset into its own keyspace: table * 2^planes + bucket bits. One long
+    key encodes (table, bucket), so the candidate join is a single-key
+    equi-join and hamming probes (XOR on the low bits) stay in-table."""
+    b = F.lit(0).cast("long")
+    for p in range(planes):
+        b = b * 2 + _sign_bit(vec_col, table * planes + p, seed)
+    return b + F.lit(table * (1 << planes)).cast("long")
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -238,30 +249,37 @@ def ann_topk_lsh(
     num_planes: int = 8,
     seed: int = 42,
     probe_radius: int = 1,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share one of the query's probe buckets
-    (its own bucket plus all buckets within hamming distance
-    `probe_radius`, classic multi-probe LSH), exact cosine rescoring within
-    the candidate set. probe_radius=0 is single-probe; radius 1 adds
-    num_planes neighbor probes and recovers most of the recall lost to
-    near-boundary sign flips (measured recall vs cosine_topk is reported
-    by bench.py --ann-recall)."""
-    c = random_hyperplane_lsh(
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
-        "cv", num_planes, seed,
-    )
-    q = random_hyperplane_lsh(
-        queries.select("query_id", F.col(vec_col).alias("qv")),
-        "qv", num_planes, seed,
-    )
-    probes = [F.col("bucket")]
-    if probe_radius >= 1:
-        probes += [
-            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)
-        ]
-    q = (
-        q.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
-    )
+    """Approximate top-k: candidates share any of the query's probe
+    buckets, exact cosine rescoring within the candidate set. Two recall
+    levers compose:
+
+    - multi-probe (probe_radius=1): each table also probes the num_planes
+      hamming-1 neighbor buckets, recovering near-boundary sign flips;
+    - multi-table (num_tables>1): independent hyperplane sets; a neighbor
+      at per-plane collision prob p1 is found with 1-(1-p1^P)^T — the
+      lever that reaches high recall on WEAKLY similar neighbors (low
+      cosine => p1 near 0.5), where single-table multi-probe saturates.
+
+    Per-query probe cost: num_tables * (1 + probe_radius*num_planes)
+    bucket lookups; measured recall@5 vs the exact top-k is reported as
+    ann_lsh_recall_at_5 in bench.py output."""
+    comb = [
+        _combined_bucket("cv", t, num_planes, seed) for t in range(num_tables)
+    ]
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).select("vec_id", "cv", F.explode(F.array(*comb)).alias("bucket"))
+    qcomb = []
+    for t in range(num_tables):
+        base = _combined_bucket("qv", t, num_planes, seed)
+        qcomb.append(base)
+        if probe_radius >= 1:
+            qcomb += [base.bitwiseXOR(F.lit(1 << j)) for j in range(num_planes)]
+    q = queries.select(
+        "query_id", F.col(vec_col).alias("qv")
+    ).select("query_id", "qv", F.explode(F.array(*qcomb)).alias("bucket"))
     cand = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("vec_id"))
