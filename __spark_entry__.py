@@ -1039,4 +1039,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ev_windowed": _EV_WIN_SQL,
         "ev_sessionize": _EV_SESS_SQL,
+        "dr_components": _dr_components_oracle(),
     }
+
+
+def _dr_components_oracle() -> str:
+    """Full independent DuckDB re-derivation of parse -> edges -> per-conv
+    CC from the raw documents table (deeprank_spark/oracle/sqlgen.py);
+    verified identical to the engine at sf0.001 and sf0.01."""
+    from deeprank_spark.oracle.sqlgen import dr_components_sql
+
+    return dr_components_sql()

@@ -1,0 +1,324 @@
+"""DuckDB SQL generator mirroring the parse -> edges -> per-conv CC path.
+
+Generates ONE (large) ANSI-ish SQL string that recomputes, from the raw
+`documents` table, exactly what the engine computes for dr_components:
+
+    documents -> 12-token turn chunks (-> __spark_entry__._docs_as_transcripts)
+              -> tokenize / tag / lemmatize (nlp/simple_parser.py — the
+                 sequential prev-tag tagger becomes a recursive CTE over
+                 token positions)
+              -> dependency set (parse_sentence's rule cascade re-derived
+                 as window predicates; dep ORDER is irrelevant here because
+                 everything downstream of gedges is set-distinct)
+              -> w2l resolution + edgesInSent rule cascade
+                 (operators/edges.py:multi_edges_table)
+              -> distinct graph edges -> per-conversation weakly-connected
+                 components with min-token labels (components_per_conv).
+
+This gives the driver's DuckDB gate an INDEPENDENT implementation of the
+whole text-graph structure pipeline (different engine, different paradigm,
+same deterministic spec). Word lists and tag sets are interpolated from
+the same Python constants the engine uses, so the spec cannot drift.
+
+Scope: exactly the default CraftParams path dr_components exercises
+(all_recs=True, noun_defs=True, noun_self=False). The float-ranked dr_*
+outputs stay pytest-verified — per-conversation PageRank-to-tolerance has
+no faithful static-SQL form; the structural pipeline does, and this is it.
+"""
+
+from __future__ import annotations
+
+from ..nlp.simple_parser import (
+    AUX_MAP,
+    BE_MAP,
+    CC_SET,
+    DT_SET,
+    IN_SET,
+    MD_SET,
+    PRP_SET,
+    VERB_SET,
+    WH_SET,
+)
+from ..wordlist import GEN_ADJS, GEN_NAMES
+
+TURN_TOKENS = 12  # __spark_entry__._docs_as_transcripts
+# the apostrophe is doubled: this string is interpolated into a
+# single-quoted SQL literal
+TOKEN_SQL_RE = r"[A-Za-z][A-Za-z0-9''\-]*|[0-9]+|[.,!?;:]"
+NOUNISH = ("NN", "NNS", "NNP", "PRP")
+
+
+def _inlist(values) -> str:
+    return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(values))
+
+
+def _tag_case(tok: str, prev: str, is_first: str) -> str:
+    """SQL mirror of simple_parser._tag_one — same rule order."""
+    low = f"lower({tok})"
+    be_aux = set(BE_MAP) | set(AUX_MAP)
+    return f"""CASE
+      WHEN {tok} IN ('.', '!', '?') THEN '.'
+      WHEN {tok} = ',' THEN ','
+      WHEN {tok} IN (';', ':') THEN ':'
+      WHEN {low} IN ({_inlist(DT_SET)}) THEN 'DT'
+      WHEN {low} IN ({_inlist(IN_SET)}) THEN 'IN'
+      WHEN {low} IN ({_inlist(PRP_SET)}) THEN 'PRP'
+      WHEN {low} IN ({_inlist(CC_SET)}) THEN 'CC'
+      WHEN {low} IN ({_inlist(WH_SET)}) THEN 'WP'
+      WHEN {low} IN ({_inlist(MD_SET)}) THEN 'MD'
+      WHEN {low} IN ({_inlist(be_aux)}) THEN 'VBZ'
+      WHEN substr({tok}, 1, 1) BETWEEN '0' AND '9' THEN 'CD'
+      WHEN {low} IN ({_inlist(GEN_ADJS)}) THEN 'JJ'
+      WHEN {low} IN ({_inlist(VERB_SET)}) THEN 'VBZ'
+      WHEN {low} LIKE '%ly' THEN 'RB'
+      WHEN {low} LIKE '%ing' AND length({low}) > 5 THEN 'VBG'
+      WHEN {low} LIKE '%ed' AND length({low}) > 4 THEN 'VBN'
+      WHEN {low} LIKE '%s' AND {low} NOT LIKE '%ss'
+           AND {prev} IN ({_inlist(NOUNISH)}) THEN 'VBZ'
+      WHEN substr({tok}, 1, 1) BETWEEN 'A' AND 'Z'
+           AND (NOT {is_first} OR {low} IN ({_inlist(n.lower() for n in GEN_NAMES)}))
+           THEN 'NNP'
+      WHEN {low} LIKE '%s' AND {low} NOT LIKE '%ss' THEN 'NNS'
+      ELSE 'NN' END"""
+
+
+def _lemma_case(tok: str, tag: str) -> str:
+    """SQL mirror of simple_parser.lemma_of — same rule order."""
+    low = f"lower({tok})"
+    return f"""CASE
+      WHEN {low} IN ({_inlist(BE_MAP)}) THEN 'be'
+      WHEN {low} IN ('has', 'had', 'have') THEN 'have'
+      WHEN {low} IN ('does', 'did', 'do') THEN 'do'
+      WHEN {tag} = 'NNP' THEN {tok}
+      WHEN {tag} IN ('VBZ', 'NNS') AND {low} LIKE '%s' AND {low} NOT LIKE '%ss'
+           AND length({low}) > 3 THEN substr({low}, 1, length({low}) - 1)
+      WHEN {tag} = 'VBG' AND {low} LIKE '%ing' AND length({low}) > 5
+           THEN substr({low}, 1, length({low}) - 3)
+      WHEN {tag} IN ('VBN', 'VBD') AND {low} LIKE '%ed' AND length({low}) > 4
+           THEN substr({low}, 1, length({low}) - 2)
+      ELSE {low} END"""
+
+
+def dr_components_sql() -> str:
+    nounish = _inlist(NOUNISH)
+    nn3 = _inlist(("NN", "NNS", "NNP"))
+    tag_expr = _tag_case("tk.word", "tg.tag", "(tk.pos = 1)")
+    tag_base = _tag_case("word", "''", "(pos = 1)")
+    lemma_expr = _lemma_case("word", "tag")
+    return f"""
+WITH RECURSIVE
+-- A. documents -> 12-token turn chunks (= _docs_as_transcripts)
+doc AS MATERIALIZED (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id,
+         string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / {TURN_TOKENS}.0) AS INT) AS n_chunks
+  FROM documents
+),
+turn AS MATERIALIZED (
+  SELECT conv_id, CAST(r.c AS INT) AS sent_id,
+         array_to_string(list_slice(toks, r.c * {TURN_TOKENS} + 1,
+                                    (r.c + 1) * {TURN_TOKENS}), ' ') AS text
+  FROM doc, UNNEST(range(0, n_chunks)) AS r(c)
+),
+-- B. tokenize (TOKEN_RE) with 1-based positions
+tok AS MATERIALIZED (
+  SELECT conv_id, sent_id, CAST(r.p AS INT) AS pos,
+         ws[CAST(r.p AS INT)] AS word
+  FROM (SELECT conv_id, sent_id, regexp_extract_all(text, '{TOKEN_SQL_RE}') AS ws
+        FROM turn),
+       UNNEST(range(1, len(ws) + 1)) AS r(p)
+),
+-- C. sequential tagger: prev-tag dependence -> recursion over positions
+tg AS (
+  SELECT conv_id, sent_id, pos, word, {tag_base} AS tag
+  FROM tok WHERE pos = 1
+  UNION ALL
+  SELECT tk.conv_id, tk.sent_id, tk.pos, tk.word, {tag_expr} AS tag
+  FROM tg JOIN tok tk
+    ON tk.conv_id = tg.conv_id AND tk.sent_id = tg.sent_id
+   AND tk.pos = tg.pos + 1
+),
+tk AS MATERIALIZED (
+  SELECT conv_id, sent_id, pos, word, tag, {lemma_expr} AS lemma FROM tg
+),
+-- D. per-sentence word->(lemma,tag), last occurrence wins (w2l_sentence)
+w2l AS MATERIALIZED (
+  SELECT conv_id, sent_id, word,
+         max_by(lemma, pos) AS lemma, max_by(tag, pos) AS tag
+  FROM tk WHERE length(word) > 0
+  GROUP BY conv_id, sent_id, word
+),
+-- E. lemma -> first noun-occurrence sentence (noun_set_table)
+noun_set AS MATERIALIZED (
+  SELECT conv_id, lemma, MIN(sent_id) AS first_sent
+  FROM tk WHERE length(lemma) > 0 AND substr(tag, 1, 1) = 'N'
+  GROUP BY conv_id, lemma
+),
+-- F. dependency structure (parse_sentence) as window predicates.
+--    Only the SET of (from_pos, rel, to_pos) matters downstream.
+root AS MATERIALIZED (
+  SELECT conv_id, sent_id,
+         COALESCE(MIN(pos) FILTER (WHERE tag LIKE 'V%'),
+                  MIN(pos) FILTER (WHERE tag IN ({nounish})), 1) AS root
+  FROM tk GROUP BY conv_id, sent_id
+),
+subj AS MATERIALIZED (
+  SELECT t.conv_id, t.sent_id, MAX(t.pos) AS subj
+  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  WHERE t.pos < r.root AND t.tag IN ({nounish})
+  GROUP BY t.conv_id, t.sent_id
+),
+comp_pair AS MATERIALIZED (
+  SELECT a.conv_id, a.sent_id, a.pos AS a_pos, b.pos AS b_pos
+  FROM tk a JOIN tk b ON a.conv_id = b.conv_id AND a.sent_id = b.sent_id
+   AND b.pos = a.pos + 1
+  WHERE a.tag IN ({nn3}) AND b.tag IN ({nn3})
+),
+-- post-root eligible nouns: nounish, beyond root, not a compound-left
+elig AS MATERIALIZED (
+  SELECT t.conv_id, t.sent_id, t.pos, r.root
+  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  WHERE t.pos > r.root AND t.tag IN ({nounish})
+    AND NOT EXISTS (SELECT 1 FROM comp_pair c
+                    WHERE c.conv_id = t.conv_id AND c.sent_id = t.sent_id
+                      AND c.a_pos = t.pos)
+),
+-- pending preposition per eligible noun: latest IN after the previous
+-- eligible noun (the loop's prep register: set at IN, cleared on use)
+elig2 AS MATERIALIZED (
+  SELECT e.conv_id, e.sent_id, e.pos, e.root,
+         (SELECT MAX(i.pos) FROM tk i
+          WHERE i.conv_id = e.conv_id AND i.sent_id = e.sent_id
+            AND i.tag = 'IN' AND i.pos > e.root AND i.pos < e.pos
+            AND i.pos > COALESCE((SELECT MAX(e2.pos) FROM elig e2
+                                  WHERE e2.conv_id = e.conv_id
+                                    AND e2.sent_id = e.sent_id
+                                    AND e2.pos < e.pos), e.root)
+         ) AS pending_in
+  FROM elig e
+),
+dobj AS MATERIALIZED (
+  SELECT conv_id, sent_id, MIN(pos) AS pos
+  FROM elig2 WHERE pending_in IS NULL
+  GROUP BY conv_id, sent_id
+),
+-- DT/JJ/RB attach forward to the nearest noun-ish token
+mods AS MATERIALIZED (
+  SELECT t.conv_id, t.sent_id, t.pos, t.tag,
+         (SELECT MIN(n.pos) FROM tk n
+          WHERE n.conv_id = t.conv_id AND n.sent_id = t.sent_id
+            AND n.pos > t.pos AND n.tag IN ({nounish})) AS nxt
+  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  WHERE t.tag IN ('DT', 'JJ', 'RB') AND t.pos <> r.root
+),
+-- deps as (from_pos, rel, to_pos); UNION ALL branches mirror the cascade
+dep_pos AS MATERIALIZED (
+  SELECT s.conv_id, s.sent_id, r.root AS f_pos, 'nsubj' AS rel, s.subj AS t_pos
+    FROM subj s JOIN root r ON s.conv_id = r.conv_id AND s.sent_id = r.sent_id
+   WHERE s.subj <> r.root
+  UNION ALL
+  SELECT conv_id, sent_id, b_pos, 'compound', a_pos FROM comp_pair
+  UNION ALL
+  SELECT e.conv_id, e.sent_id, e.root, 'dobj', e.pos
+    FROM elig2 e JOIN dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
+   WHERE e.pos = d.pos
+  UNION ALL
+  SELECT e.conv_id, e.sent_id, e.root, 'nmod', e.pos
+    FROM elig2 e LEFT JOIN dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
+   WHERE d.pos IS NULL OR e.pos <> d.pos
+  UNION ALL
+  SELECT conv_id, sent_id, pos, 'case', pending_in
+    FROM elig2 e
+   WHERE pending_in IS NOT NULL
+     AND NOT EXISTS (SELECT 1 FROM dobj d
+                     WHERE d.conv_id = e.conv_id AND d.sent_id = e.sent_id
+                       AND d.pos = e.pos)
+  UNION ALL
+  SELECT conv_id, sent_id, nxt, CASE WHEN tag = 'DT' THEN 'det' ELSE 'amod' END, pos
+    FROM mods WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT t.conv_id, t.sent_id, r.root, 'punct', t.pos
+    FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+   WHERE t.tag = '.' AND t.pos <> r.root
+),
+attached AS MATERIALIZED (
+  SELECT conv_id, sent_id, t_pos AS pos FROM dep_pos
+  UNION
+  SELECT conv_id, sent_id, root FROM root
+),
+dep_all AS MATERIALIZED (
+  SELECT * FROM dep_pos
+  UNION ALL
+  SELECT t.conv_id, t.sent_id, r.root, 'dep', t.pos
+    FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+   WHERE NOT EXISTS (SELECT 1 FROM attached a
+                     WHERE a.conv_id = t.conv_id AND a.sent_id = t.sent_id
+                       AND a.pos = t.pos)
+),
+-- G. resolve through w2l (word-level equi-joins) + first-occurrence probe
+resolved AS MATERIALIZED (
+  SELECT d.conv_id, d.sent_id, d.rel,
+         wf.lemma AS lfrom, wf.tag AS lftag,
+         wt.lemma AS lto, wt.tag AS lttag,
+         ns.first_sent AS lto_first
+  FROM dep_all d
+  JOIN tk f ON f.conv_id = d.conv_id AND f.sent_id = d.sent_id AND f.pos = d.f_pos
+  JOIN tk t ON t.conv_id = d.conv_id AND t.sent_id = d.sent_id AND t.pos = d.t_pos
+  JOIN w2l wf ON wf.conv_id = d.conv_id AND wf.sent_id = d.sent_id AND wf.word = f.word
+  JOIN w2l wt ON wt.conv_id = d.conv_id AND wt.sent_id = d.sent_id AND wt.word = t.word
+  LEFT JOIN noun_set ns ON ns.conv_id = d.conv_id AND ns.lemma = wt.lemma
+),
+-- H. edgesInSent cascade -> graph edges (default params: all_recs on,
+--    noun_defs on, noun_self off); only (kind, key) endpoints survive
+branch AS MATERIALIZED (
+  SELECT *,
+    (rel = 'punct' AND lttag = '.') AS is_punct_dot,
+    (substr(lftag, 1, 1) = 'V' AND substr(lttag, 1, 1) = 'N'
+     AND (rel LIKE '%subj%' OR rel LIKE '%obj%')) AS vn,
+    (substr(lttag, 1, 1) = 'N') AS to_noun,
+    (lto_first = sent_id) AS first_in,
+    CAST(sent_id AS VARCHAR) AS sk,
+    (substr(lftag, 1, 1) = 'N' AND substr(lttag, 1, 1) = 'N'
+     AND rel = 'compound') AS is_comp
+  FROM resolved
+),
+gedge AS MATERIALIZED (
+  SELECT DISTINCT conv_id, src_kind, src, dst_kind, dst FROM (
+    SELECT conv_id, 'S' AS src_kind, sk AS src, 'W' AS dst_kind, lfrom AS dst
+      FROM branch WHERE is_punct_dot
+    UNION ALL
+    SELECT conv_id, 'W', lfrom, 'W', lto FROM branch
+     WHERE NOT is_punct_dot AND (vn OR to_noun)
+    UNION ALL
+    SELECT conv_id, 'S', sk, 'W', lto FROM branch WHERE NOT is_punct_dot AND vn
+    UNION ALL
+    SELECT conv_id, 'W', lto, 'S', sk FROM branch
+     WHERE NOT is_punct_dot AND (vn OR to_noun) AND first_in
+    UNION ALL
+    SELECT conv_id, 'W', lto, 'W', lfrom FROM branch
+     WHERE NOT is_punct_dot AND NOT vn AND NOT to_noun
+    UNION ALL
+    SELECT conv_id, 'W', lto, 'S', sk FROM branch
+     WHERE NOT is_punct_dot AND NOT vn AND NOT to_noun
+    UNION ALL
+    SELECT conv_id, 'W', lfrom, 'W', lto || ' ' || lfrom FROM branch WHERE is_comp
+    UNION ALL
+    SELECT conv_id, 'W', lto, 'W', lto || ' ' || lfrom FROM branch WHERE is_comp
+  )
+),
+-- I. per-conversation weak CC, label = min node token (kind || key)
+sym AS MATERIALIZED (
+  SELECT conv_id, src_kind || src AS a, dst_kind || dst AS b FROM gedge
+  UNION
+  SELECT conv_id, dst_kind || dst AS a, src_kind || src AS b FROM gedge
+),
+reach AS (
+  SELECT conv_id, a, a AS b FROM sym
+  UNION
+  SELECT r.conv_id, r.a, s.b
+  FROM reach r JOIN sym s ON r.conv_id = s.conv_id AND r.b = s.a
+)
+SELECT conv_id, substr(a, 1, 1) AS kind, substr(a, 2) AS key,
+       MIN(b) AS component
+FROM reach GROUP BY conv_id, a
+"""
