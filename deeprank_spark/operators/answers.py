@@ -112,11 +112,20 @@ def four_matcher_answers(
         "src", "dst",
     )
 
+    # query_svo for the reference's 4-way wildcard matcher (J11)
+    from .edges import svo_table
+
+    q_svo = svo_table(qparsed, params=p).select(
+        F.split_part(F.col("conv_id"), F.lit("\x1f"), F.lit(1)).alias("conv_id"),
+        F.split_part(F.col("conv_id"), F.lit("\x1f"), F.lit(2)).cast("int").alias("q_idx"),
+        "subj", "verb", "obj",
+    ).distinct()
+
     return answer_votes(
         parsed, multi_edges.where(
             (F.col("src_kind") == "W") & (F.col("dst_kind") == "W")
         ).select("conv_id", "src", "dst", "sent_id"),
-        svo, ner, qsep, q_terms, q_edges, rr, p, talk,
+        svo, ner, qsep, q_terms, q_edges, rr, p, talk, q_svo=q_svo,
     )
 
 
@@ -191,6 +200,39 @@ def match_edges(q_edges: DataFrame, doc_edges: DataFrame) -> DataFrame:
     return matched.select(q["conv_id"], "q_idx", "sent_id").distinct()
 
 
+def match_svo_4way(
+    q_svo: DataFrame, q_keys: DataFrame, svo: DataFrame
+) -> DataFrame:
+    """J11 — the reference's exact match_svo (qpro.pro:117-133), both
+    clauses, as equi-joins:
+
+    1. each query SVO (S,V,O) matches doc sentences whose svo agrees on
+       at least TWO of the three slots: exact (S,V,O), drop-V (S,_,O),
+       drop-O (S,V,_), drop-S (_,V,O) — four equi-joins unioned, cheaper
+       and tighter than the ≤K closure (which remains available as
+       match_svo_closure / J13);
+    2. each good-tag focus word W matches sentences where W is the subject
+       or the object of any doc svo.
+
+    q_svo: (conv_id, q_idx, subj, verb, obj); q_keys: (conv_id, q_idx, key).
+    -> distinct (conv_id, q_idx, sent_id).
+    """
+    d = svo.select("conv_id", "subj", "verb", "obj", "sent_id")
+    out = None
+    for keys in (["subj", "verb", "obj"], ["subj", "obj"], ["subj", "verb"], ["verb", "obj"]):
+        m = q_svo.join(d, ["conv_id", *keys]).select("conv_id", "q_idx", "sent_id")
+        out = m if out is None else out.union(m)
+    w_subj = q_keys.join(
+        d.select("conv_id", F.col("subj").alias("key"), "sent_id"),
+        ["conv_id", "key"],
+    ).select("conv_id", "q_idx", "sent_id")
+    w_obj = q_keys.join(
+        d.select("conv_id", F.col("obj").alias("key"), "sent_id"),
+        ["conv_id", "key"],
+    ).select("conv_id", "q_idx", "sent_id")
+    return out.union(w_subj).union(w_obj).distinct()
+
+
 def match_svo_closure(
     q_keys: DataFrame, svo: DataFrame, sent_tokens: DataFrame, k: int = 2
 ) -> DataFrame:
@@ -232,10 +274,14 @@ def answer_votes(
     rr: DataFrame,
     params: CraftParams | None = None,
     talk: TalkParams | None = None,
+    q_svo: DataFrame | None = None,
 ) -> DataFrame:
     """Union of the four matchers -> vote count -> rank-scored answers.
 
     rr: personalized reranked ranks (conv_id, q_idx, kind, key, rank).
+    With q_svo (conv_id, q_idx, subj, verb, obj) the svo matcher is the
+    reference's exact 4-way wildcard match (J11, match_svo_4way); without
+    it, the bounded-closure over-approximation (J13) is used.
     -> (conv_id, q_idx, sent_id, votes, score) top max_answers per query.
     """
     t = talk or TalkParams()
@@ -270,9 +316,12 @@ def answer_votes(
         "conv_id", "q_idx", "sent_id"
     ).withColumn("algo", F.lit("relevant"))
     m_edge = match_edges(q_edges, multi_edges).withColumn("algo", F.lit("edges"))
-    m_svo = match_svo_closure(q_keys, svo, sent_tokens).withColumn(
-        "algo", F.lit("svo")
-    )
+    if q_svo is not None:
+        m_svo = match_svo_4way(q_svo, q_keys, svo).withColumn("algo", F.lit("svo"))
+    else:
+        m_svo = match_svo_closure(q_keys, svo, sent_tokens).withColumn(
+            "algo", F.lit("svo")
+        )
 
     votes = (
         m_ner.union(m_rel).union(m_edge).union(m_svo)

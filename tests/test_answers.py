@@ -117,3 +117,47 @@ def test_line_graph_ranking_matches_networkx(spark):
                 assert math.isclose(got[(conv, u, v)], er, abs_tol=1e-6), (
                     conv, node, got.get((conv, u, v)), er,
                 )
+
+
+def test_match_svo_4way(spark):
+    """J11 semantics (qpro.pro:117-133): two-of-three slot agreement, plus
+    the focus-word subject/object clause."""
+    from deeprank_spark.operators.answers import match_svo_4way
+
+    svo = spark.createDataFrame(
+        [
+            ("c", "alice", "build", "engine", 0),
+            ("c", "alice", "rank", "data", 1),
+            ("c", "bob", "build", "engine", 2),
+            ("c", "carol", "read", "paper", 3),
+        ],
+        "conv_id string, subj string, verb string, obj string, sent_id int",
+    )
+    q_svo = spark.createDataFrame(
+        [("c", 0, "alice", "build", "engine")],
+        "conv_id string, q_idx int, subj string, verb string, obj string",
+    )
+    empty_keys = spark.createDataFrame([], "conv_id string, q_idx int, key string")
+    got = {
+        r["sent_id"]
+        for r in match_svo_4way(q_svo, empty_keys, svo).collect()
+    }
+    # 0: exact; 1: S+V? alice/rank: S matches, V no, O no -> only one slot
+    #    -> excluded... wait S,V = (alice, rank) vs query (alice, build):
+    #    drop-O needs S+V; drop-V needs S+O; drop-S needs V+O.
+    # sent 1 (alice, rank, data): S only -> NOT matched
+    # sent 2 (bob, build, engine): V+O -> matched (drop-S)
+    assert got == {0, 2}, got
+
+    keys = spark.createDataFrame(
+        [("c", 1, "carol"), ("c", 1, "data")],
+        "conv_id string, q_idx int, key string",
+    )
+    empty_svo = spark.createDataFrame(
+        [], "conv_id string, q_idx int, subj string, verb string, obj string"
+    )
+    got2 = {
+        r["sent_id"] for r in match_svo_4way(empty_svo, keys, svo).collect()
+    }
+    # carol subject of 3; data object of 1
+    assert got2 == {1, 3}, got2
