@@ -170,7 +170,7 @@ def run_kernel_job() -> dict:
     }
 
 
-SCALING_ROUNDS = int(os.environ.get("DEEPRANK_SCALING_ROUNDS", "3"))
+SCALING_ROUNDS = max(3, int(os.environ.get("DEEPRANK_SCALING_ROUNDS", "3")))
 
 
 def run_scaling() -> dict:
@@ -198,6 +198,7 @@ def run_scaling() -> dict:
     med_4n = statistics.median(walls[SCALING_4N])
     speedup = t_n / t_4n
     med_speedup = med_n / med_4n
+    ratio = int(SCALING_4N) / int(SCALING_N)  # not hard-coded: pair is env-overridable
     return {
         "metric": f"flagship-job scaling local[{SCALING_N}] -> local[{SCALING_4N}] (N -> 4N cores)",
         "rounds": SCALING_ROUNDS,
@@ -210,8 +211,8 @@ def run_scaling() -> dict:
         f"throughput_jobs_per_sec_{SCALING_4N}": round(1.0 / t_4n, 5),
         "speedup_min": round(speedup, 3),
         "speedup_median": round(med_speedup, 3),
-        "scaling_efficiency": round(speedup / 4.0, 3),
-        "scaling_efficiency_median": round(med_speedup / 4.0, 3),
+        "scaling_efficiency": round(speedup / ratio, 3),
+        "scaling_efficiency_median": round(med_speedup / ratio, 3),
         "all_runs": results,
     }
 

@@ -86,7 +86,9 @@ def flagship(
         from .operators.components import components_per_conv
         from .operators.extract import giant_component_gate
 
-        r_gated = giant_component_gate(r, components_per_conv(d.gedges))
+        # persisted like r above: keywords AND summary consume the gated
+        # frame, and the per-conv union-find + semi-join shouldn't run twice
+        r_gated = giant_component_gate(r, components_per_conv(d.gedges)).persist()
     return {
         "keywords": keywords(r_gated, d.noun_set, params=p),
         "summary": summary(r_gated, d.parsed, params=p).orderBy("conv_id", "turn_idx"),

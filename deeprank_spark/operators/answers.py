@@ -208,8 +208,10 @@ def match_svo_4way(
 
     1. each query SVO (S,V,O) matches doc sentences whose svo agrees on
        at least TWO of the three slots: exact (S,V,O), drop-V (S,_,O),
-       drop-O (S,V,_), drop-S (_,V,O) — four equi-joins unioned, cheaper
-       and tighter than the ≤K closure (which remains available as
+       drop-O (S,V,_), drop-S (_,V,O). The reference lists four goals;
+       the exact goal is subsumed by any of the three 2-slot joins, so
+       three equi-joins realize the same match set — cheaper and tighter
+       than the ≤K closure (which remains available as
        match_svo_closure / J13);
     2. each good-tag focus word W matches sentences where W is the subject
        or the object of any doc svo.
@@ -219,7 +221,7 @@ def match_svo_4way(
     """
     d = svo.select("conv_id", "subj", "verb", "obj", "sent_id")
     out = None
-    for keys in (["subj", "verb", "obj"], ["subj", "obj"], ["subj", "verb"], ["verb", "obj"]):
+    for keys in (["subj", "obj"], ["subj", "verb"], ["verb", "obj"]):
         m = q_svo.join(d, ["conv_id", *keys]).select("conv_id", "q_idx", "sent_id")
         out = m if out is None else out.union(m)
     w_subj = q_keys.join(

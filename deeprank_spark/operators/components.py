@@ -14,6 +14,7 @@ round; converges in O(diameter) rounds.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -35,14 +36,18 @@ class _ResetDir:
 
     Owns ONE tempdir per run and deletes the previous round's parquet as
     soon as the next round-trip is materialized, so long iterative jobs
-    hold at most one reset on the RAM-backed tmpfs; finalize() eagerly
-    re-materializes the final state into block storage and removes the
-    tempdir entirely."""
+    hold at most one reset on the RAM-backed tmpfs. The LAST reset dir is
+    kept until interpreter exit (atexit): the returned DataFrame's
+    localCheckpoint keeps its lineage rooted at that parquet, so deleting
+    it eagerly would make the result unrecoverable after block loss on a
+    real cluster — bounded residue (one dir) is the price of
+    recoverability; durable runs manage their own directory."""
 
     def __init__(self, tag: str):
         parent = "/dev/shm" if os.path.isdir("/dev/shm") else None
         self.root = tempfile.mkdtemp(prefix=f"deeprank_{tag}_", dir=parent)
         self._prev: str | None = None
+        atexit.register(shutil.rmtree, self.root, ignore_errors=True)
 
     def reset(self, df: DataFrame, step: int) -> DataFrame:
         path = os.path.join(self.root, f"s{step}")
@@ -54,11 +59,11 @@ class _ResetDir:
         return out
 
     def finalize(self, df: DataFrame) -> DataFrame:
-        """Detach `df` from the tempdir (eager localCheckpoint reads the
-        last parquet into blocks) and delete the tempdir."""
+        """Pin the final state into block storage (eager localCheckpoint).
+        The last parquet dir stays on disk as the checkpoint's recovery
+        lineage; atexit removes it when the process ends."""
         if self._prev is not None:
             df = df.localCheckpoint(eager=True)
-        shutil.rmtree(self.root, ignore_errors=True)
         return df
 
 _SEP = ""  # kind is a single char; token = kind + key parses positionally

@@ -177,9 +177,15 @@ def ngram_jaccard_pairs(
         tok = sets.select("id", "n", F.explode("shingles").alias("s"))
         freq = tok.groupBy("s").agg(F.count("*").alias("df"))
         w = Window.partitionBy("id").orderBy("df", "s")
-        prefix_len = (
-            F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")).cast("int") + 1
-        )
+        # alpha = ceil(t*n) under EXACT arithmetic. The float product can
+        # round ABOVE the true integer (0.28*25 = 7.000000000000001 ->
+        # ceil 8, not 7), which would SHORTEN the prefix and silently drop
+        # qualifying pairs; biasing down by epsilon keeps alpha exact for
+        # near-integer products (float error ~1e-15 rel << 1e-9 << 1/n)
+        # and a too-small alpha only lengthens the prefix (extra
+        # candidates, never missed ones) — losslessness preserved.
+        alpha = F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9)).cast("int")
+        prefix_len = F.col("n") - F.greatest(alpha, F.lit(1)) + 1
         prefixes = (
             tok.join(freq, "s")
             .withColumn("rk", F.row_number().over(w))

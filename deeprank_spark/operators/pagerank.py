@@ -29,6 +29,7 @@ Two physical strategies for one logical kernel:
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -436,10 +437,13 @@ def pagerank_distributed(
             shutil.rmtree(checkpoint_dir, ignore_errors=True)
         raise RuntimeError(f"pagerank_distributed: no convergence in {max_iter} supersteps")
     if not durable:
-        # detach the final state from the tempdir (eager localCheckpoint
-        # reads the last parquet into blocks) and free the tmpfs space
+        # pin the final state into block storage; the last superstep dir
+        # stays on tmpfs until interpreter exit (atexit) because it is the
+        # checkpoint's lineage recovery path — deleting it eagerly would
+        # make run.ranks unrecoverable after executor block loss. Earlier
+        # superstep dirs were already deleted incrementally in the loop.
         state = state.localCheckpoint(eager=True)
-        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, checkpoint_dir, ignore_errors=True)
     return PageRankRun(state, step, deltas, time.time() - t0, converged)
 
 

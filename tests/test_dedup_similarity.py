@@ -202,19 +202,21 @@ def test_cosine_pairs_blocked_matches_exact(spark):
     the brute-force SQL as the DuckDB oracle for emb_cosine_pairs."""
     from deeprank_spark.operators.similarity import cosine_near_pairs
 
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    exact = {
-        (r["id_a"], r["id_b"], round(r["cosine"], 9))
-        for r in cosine_near_pairs(emb, threshold=0.4, exact=True).collect()
-    }
-    blocked = {
-        (r["id_a"], r["id_b"], round(r["cosine"], 9))
-        for r in cosine_near_pairs(
-            emb, threshold=0.4, num_tables=20, planes_per_table=2, seed=42
-        ).collect()
-    }
-    assert exact == blocked
-    assert len(exact) == 59
+    expected = {"sf0.01": 59, "sf0.1": 920}
+    for sf, n_pairs in expected.items():
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        exact = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in cosine_near_pairs(emb, threshold=0.4, exact=True).collect()
+        }
+        blocked = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in cosine_near_pairs(
+                emb, threshold=0.4, num_tables=20, planes_per_table=2, seed=42
+            ).collect()
+        }
+        assert exact == blocked, sf
+        assert len(exact) == n_pairs, sf
 
 
 def test_lsh_tables_for_recall_formula():
