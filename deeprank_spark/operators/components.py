@@ -125,30 +125,36 @@ def components_per_conv(gedges: DataFrame) -> DataFrame:
 
 
 def components_distributed(
-    edges: DataFrame, id_cols: tuple = ("src", "dst"), max_iter: int = 100
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_iter: int = 100,
+    jump_every: int = 2,
 ) -> DataFrame:
-    """Hash-min label exchange WITH pointer jumping on one giant graph.
+    """Hash-min label exchange WITH periodic pointer jumping on one giant
+    graph.
 
-    Each round does two things:
-      1. hash-min:  m(v) = min(label(v), min over undirected neighbors'
-         labels) — the classic label exchange;
-      2. pointer jump (shortcutting): label'(v) = m(m(v)) — every vertex
-         re-reads the label of the vertex its label points at.
-    Labels only decrease and always name a vertex inside v's own component
-    (min of component members), so correctness is unchanged; the jump makes
-    label reach DOUBLE per round instead of growing by one hop, turning the
-    O(diameter) rounds of plain hash-min into O(log n) — a 10^4-vertex path
-    graph converges in ~2*log2(n) rounds instead of 10^4 (see
-    tests/test_kernels.py::test_components_path_graph_logarithmic_rounds).
-    This is the pointer-doubling alternative to Kiveris et al.'s
-    large-star/small-star; both give logarithmic round counts at 100 TB
-    scale where component diameters are unbounded.
+    Every round does hash-min — m(v) = min(label(v), min over undirected
+    neighbors' labels) — and every `jump_every`-th round additionally
+    pointer-jumps (shortcuts): label'(v) = m(m(v)), every vertex re-reads
+    the label of the vertex its label points at. Labels only decrease and
+    always name a vertex inside v's own component, so correctness is
+    unchanged; the periodic jump still multiplies label reach
+    geometrically, turning the O(diameter) rounds of plain hash-min into
+    O(log n) — a 4096-vertex path graph converges under a ~2*log2(n)
+    round cap instead of ~n (tests/test_kernels.py::
+    test_components_path_graph_logarithmic_rounds) — while LOW-diameter
+    graphs (the common case: social/bipartite graphs converge in <10
+    rounds) only pay the second shuffle on every other round
+    (measured: jump-every-round doubled sf0.1 wall time for zero round
+    savings there). This is the pointer-doubling alternative to Kiveris
+    et al.'s large-star/small-star; both give logarithmic round counts at
+    100 TB scale where component diameters are unbounded.
 
-    Cost per round: one shuffle for the neighbor gather (groupBy id), one
-    shuffle for the jump join (on the label key). Skew note: late rounds
-    concentrate join keys on component minima; AQE skew-join handles the
-    giant-component hot key, and the jump join's build side (distinct
-    labels) shrinks geometrically.
+    Cost per round: one shuffle for the neighbor gather (groupBy id),
+    plus one shuffle for the jump join (label key) on jump rounds. Skew
+    note: late rounds concentrate join keys on component minima; AQE
+    skew-join handles the giant-component hot key, and the jump join's
+    build side (distinct labels) shrinks geometrically.
 
     Returns (id, component) with component = min vertex id of the
     component.
@@ -183,18 +189,22 @@ def components_distributed(
             ).alias("m"),
             F.col("component").alias("prev"),
         )
-        # pointer jump: label'(v) = m(m(v)). m is total over the vertex set
-        # and m(x) <= x, so the lookup always resolves.
-        jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
-        new = (
-            m.join(jump, m["m"] == jump["jid"])
-            .select(
+        if (it + 1) % jump_every == 0:
+            # pointer jump: label'(v) = m(m(v)). m is total over the vertex
+            # set and m(x) <= x, so the lookup always resolves.
+            jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
+            stepped = m.join(jump, m["m"] == jump["jid"]).select(
                 "id",
                 F.col("jlbl").alias("component"),
                 (F.col("jlbl") != F.col("prev")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            stepped = m.select(
+                "id",
+                F.col("m").alias("component"),
+                (F.col("m") != F.col("prev")).alias("chg"),
+            )
+        new = stepped.localCheckpoint(eager=True)
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         kept.append(new)
         labels = new.select("id", "component")
