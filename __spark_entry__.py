@@ -618,6 +618,20 @@ def q_dr_line_graph(spark, sf_dir):
     )
 
 
+def q_dr_line_graph_adj(spark, sf_dir):
+    """Structural line graph (W9's adjacency: vertices = graph edges,
+    connected when consecutive) over the same doc subset as
+    dr_line_graph. Fully DuckDB-oracled through the oracle/sqlgen.py
+    parse->edges re-derivation — this value-checks the line-graph
+    CONSTRUCTION; the PageRank over it stays pytest-verified."""
+    from deeprank_spark.engine import digest
+    from deeprank_spark.operators.line_graph import line_graph_edges
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
+    d = digest(_docs_as_transcripts(docs))
+    return line_graph_edges(d.gedges)
+
+
 def q_dr_svo_extended(spark, sf_dir):
     """Taxonomy (WordNet-style) SVO extension (J4; rows-only)."""
     from deeprank_spark.engine import flagship
@@ -977,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr_query_answers": q_dr_query_answers,  # rows-only (entry point C)
         "dr_vote_answers": q_dr_vote_answers,  # rows-only (4-matcher vote path)
         "dr_line_graph": q_dr_line_graph,  # rows-only (W9 kernel reuse)
+        "dr_line_graph_adj": q_dr_line_graph_adj,
         "dr_svo_extended": q_dr_svo_extended,  # rows-only (J4 taxonomy join)
     }
 
@@ -1046,7 +1061,14 @@ def oracle_sql() -> dict[str, str]:
         "ev_windowed": _EV_WIN_SQL,
         "ev_sessionize": _EV_SESS_SQL,
         "dr_components": _dr_components_oracle(),
+        "dr_line_graph_adj": _dr_line_graph_adj_oracle(),
     }
+
+
+def _dr_line_graph_adj_oracle() -> str:
+    from deeprank_spark.oracle.sqlgen import dr_line_graph_adj_sql
+
+    return dr_line_graph_adj_sql(doc_mod=50)
 
 
 def _dr_components_oracle() -> str:

@@ -99,7 +99,9 @@ def _lemma_case(tok: str, tag: str) -> str:
       ELSE {low} END"""
 
 
-def dr_components_sql() -> str:
+def _pipeline_ctes(doc_filter: str = "") -> str:
+    """CTE chain from raw documents through the distinct graph-edge set
+    (`gedge`); doc_filter is an optional WHERE clause on documents."""
     nounish = _inlist(NOUNISH)
     nn3 = _inlist(("NN", "NNS", "NNP"))
     tag_expr = _tag_case("tk.word", "tg.tag", "(tk.pos = 1)")
@@ -112,7 +114,7 @@ doc AS MATERIALIZED (
   SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id,
          string_split(text, ' ') AS toks,
          CAST(ceil(len(string_split(text, ' ')) / {TURN_TOKENS}.0) AS INT) AS n_chunks
-  FROM documents
+  FROM documents {doc_filter}
 ),
 turn AS MATERIALIZED (
   SELECT conv_id, CAST(r.c AS INT) AS sent_id,
@@ -306,6 +308,13 @@ gedge AS MATERIALIZED (
     SELECT conv_id, 'W', lto, 'W', lto || ' ' || lfrom FROM branch WHERE is_comp
   )
 ),
+gedge_end AS (SELECT 1)"""
+
+
+def dr_components_sql() -> str:
+    """Per-conversation weak CC with min-token labels over the re-derived
+    graph (components_per_conv semantics)."""
+    return _strip_tail(_pipeline_ctes()) + """,
 -- I. per-conversation weak CC, label = min node token (kind || key)
 sym AS MATERIALIZED (
   SELECT conv_id, src_kind || src AS a, dst_kind || dst AS b FROM gedge
@@ -321,4 +330,33 @@ reach AS (
 SELECT conv_id, substr(a, 1, 1) AS kind, substr(a, 2) AS key,
        MIN(b) AS component
 FROM reach GROUP BY conv_id, a
+"""
+
+
+def _strip_tail(ctes: str) -> str:
+    """Drop the terminal placeholder so callers can append CTEs/SELECTs."""
+    tail = ",\ngedge_end AS (SELECT 1)"
+    assert ctes.rstrip().endswith("gedge_end AS (SELECT 1)"), "unexpected CTE tail"
+    return ctes.rstrip()[: -len("gedge_end AS (SELECT 1)")].rstrip().rstrip(",")
+
+
+def dr_line_graph_adj_sql(doc_mod: int = 50) -> str:
+    """Structural line graph (W9's adjacency: vertices are graph edges,
+    connected when consecutive — line_graph.line_graph_edges) over the
+    re-derived graph of every doc_mod-th document, mirroring the engine's
+    q_dr_line_graph input subset."""
+    prefix = _strip_tail(_pipeline_ctes(f"WHERE doc_id % {doc_mod} = 0"))
+    return prefix + """,
+ekey AS MATERIALIZED (
+  SELECT conv_id,
+         (src_kind || src) || '>' || (dst_kind || dst) AS ek,
+         src_kind || src AS head,
+         dst_kind || dst AS tail
+  FROM gedge
+)
+SELECT DISTINCT a.conv_id,
+       'E' AS src_kind, a.ek AS src,
+       'E' AS dst_kind, b.ek AS dst
+FROM ekey a JOIN ekey b ON a.conv_id = b.conv_id AND a.tail = b.head
+WHERE a.ek <> b.ek
 """
