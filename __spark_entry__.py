@@ -4,11 +4,12 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). 32 of 39 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). 33 of 40 queries carry DuckDB
 value-hash oracles — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
-SQL) and dr_components (full parse→edges→CC re-derivation,
-oracle/sqlgen.py). The 7 rows-only entries are float-ranked dr_* outputs
+SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
+and dr_line_graph_adj (structural line graph over the same derivation).
+The 7 rows-only entries are float-ranked dr_* outputs
 (per-conv PageRank to tolerance has no faithful static-SQL form); they are
 pytest-verified against networkx/pure-python oracles (tests/).
 """
