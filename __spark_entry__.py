@@ -4,14 +4,18 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). 33 of 40 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). 37 of 40 queries carry DuckDB
 value-hash oracles — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
 SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
-and dr_line_graph_adj (structural line graph over the same derivation).
-The 7 rows-only entries are float-ranked dr_* outputs
-(per-conv PageRank to tolerance has no faithful static-SQL form); they are
-pytest-verified against networkx/pure-python oracles (tests/).
+and, new in round 2, the float-ranked flagship outputs dr_keywords /
+dr_summary / dr_relations / dr_line_graph via a RECURSIVE per-conversation
+PageRank oracle that mirrors the numpy kernel's exact convergence schedule
+(each conversation stops at its own L1 n*tol iteration; ranks agree to
+~1e-15 and selections are pinned by 8-decimal-rounded ordering on both
+sides). The 3 rows-only entries are the query/answer-engine outputs
+(dr_query_answers, dr_vote_answers, dr_svo_extended), pytest-verified
+against pure-python oracles (tests/).
 """
 
 from __future__ import annotations
@@ -606,8 +610,10 @@ def q_dr_vote_answers(spark, sf_dir):
 
 
 def q_dr_line_graph(spark, sf_dir):
-    """Line-graph edge ranking (W9; rows-only — verified vs networkx
-    line_graph+pagerank in tests/test_answers.py)."""
+    """Line-graph edge ranking (W9): DuckDB-oracled end to end (line-graph
+    construction + recursive per-conv PageRank + top-k decode,
+    oracle/sqlgen.dr_line_graph_sql); also verified vs networkx
+    line_graph+pagerank in tests/test_answers.py."""
     from deeprank_spark.engine import digest
     from deeprank_spark.operators.line_graph import best_word_edges
 
@@ -898,7 +904,7 @@ _EV_SESS_SQL = (
 
 
 # ---------------------------------------------------------------------------
-# text-graph pipeline queries (pytest-verified; rows-only for the driver)
+# text-graph pipeline queries (DuckDB-oracled via oracle/sqlgen.py)
 # ---------------------------------------------------------------------------
 
 
@@ -984,14 +990,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "ev_windowed": q_ev_windowed,
         "ev_sessionize": q_ev_sessionize,
-        # text-graph pipeline (pytest-verified vs networkx/pure-python oracle)
+        # text-graph pipeline (DuckDB-oracled via oracle/sqlgen.py except
+        # the three rows-only query/answer-engine outputs)
         "dr_keywords": q_dr_keywords,
         "dr_summary": q_dr_summary,
         "dr_relations": q_dr_relations,
         "dr_components": q_dr_components,
         "dr_query_answers": q_dr_query_answers,  # rows-only (entry point C)
         "dr_vote_answers": q_dr_vote_answers,  # rows-only (4-matcher vote path)
-        "dr_line_graph": q_dr_line_graph,  # rows-only (W9 kernel reuse)
+        "dr_line_graph": q_dr_line_graph,
         "dr_line_graph_adj": q_dr_line_graph_adj,
         "dr_svo_extended": q_dr_svo_extended,  # rows-only (J4 taxonomy join)
     }
@@ -1063,7 +1070,21 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessionize": _EV_SESS_SQL,
         "dr_components": _dr_components_oracle(),
         "dr_line_graph_adj": _dr_line_graph_adj_oracle(),
+        "dr_keywords": _dr_rank_oracle("dr_keywords_sql"),
+        "dr_summary": _dr_rank_oracle("dr_summary_sql"),
+        "dr_relations": _dr_rank_oracle("dr_relations_sql"),
+        "dr_line_graph": _dr_rank_oracle("dr_line_graph_sql"),
     }
+
+
+def _dr_rank_oracle(fn_name: str) -> str:
+    """Float-ranked flagship oracles: full DuckDB re-derivation of
+    parse -> edges -> RECURSIVE per-conv PageRank (numpy schedule mirror,
+    per-conv convergence at L1 n*tol) -> extraction
+    (deeprank_spark/oracle/sqlgen.py round-2 extension)."""
+    from deeprank_spark.oracle import sqlgen
+
+    return getattr(sqlgen, fn_name)()
 
 
 def _dr_line_graph_adj_oracle() -> str:

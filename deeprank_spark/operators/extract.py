@@ -101,8 +101,14 @@ def giant_component_gate(
 
 
 def _topk(df: DataFrame, k: int, partition_cols=("conv_id",)) -> DataFrame:
+    # rank ties compare at 8 decimals — the precision the engine publishes
+    # (and the DuckDB differential oracle reproduces). Comparing raw doubles
+    # here would let ~1e-17 accumulation-order noise pick different rows for
+    # mathematically tied nodes across engines.
     w = Window.partitionBy(*partition_cols).orderBy(
-        F.desc("rank"), F.col("kind"), node_order_key(F.col("kind"), F.col("key"))
+        F.desc(F.round("rank", 8)),
+        F.col("kind"),
+        node_order_key(F.col("kind"), F.col("key")),
     )
     return (
         df.withColumn("rn", F.row_number().over(w))
@@ -249,8 +255,9 @@ def scored_svos(
         )
         .distinct()
     )
+    # 8-decimal score ties, matching _topk's published-precision ordering
     w = Window.partitionBy(*partition_cols).orderBy(
-        F.desc("score"), "subj", "verb", "obj", "sent_id"
+        F.desc(F.round("score", 8)), "subj", "verb", "obj", "sent_id"
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))

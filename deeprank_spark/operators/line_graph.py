@@ -68,8 +68,10 @@ def best_word_edges(gedges: DataFrame, k: int = 16) -> DataFrame:
         F.expr("substring(v, 2)").alias("dst_word"),
         "rank",
     )
+    # rank ties compare at the published 8-decimal precision (see
+    # extract._topk) so cross-engine top-k selection is deterministic
     w = Window.partitionBy("conv_id").orderBy(
-        F.desc("rank"), "src_word", "dst_word"
+        F.desc(F.round("rank", 8)), "src_word", "dst_word"
     )
     return words.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= k

@@ -221,8 +221,12 @@ def answer_queries(
         ["conv_id", "key"],
     ).where(is_clean_sent_col(F.col("lemmas")))
     cands = sents.join(good, ["conv_id", "q_idx", "sent_id"], "leftsemi")
+    # rank ties compare at the published 8-decimal precision (see
+    # extract._topk) so engine and differential oracles order identically
     w = Window.partitionBy("conv_id", "q_idx").orderBy(
-        F.desc("rank"), F.col("kind"), node_order_key(F.col("kind"), F.col("key"))
+        F.desc(F.round("rank", 8)),
+        F.col("kind"),
+        node_order_key(F.col("kind"), F.col("key")),
     )
     answers = cands.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= t.max_answers
@@ -230,7 +234,9 @@ def answer_queries(
 
     # summary of the reranked document (sent_count top clean sentences)
     wsum = Window.partitionBy("conv_id", "q_idx").orderBy(
-        F.desc("rank"), F.col("kind"), node_order_key(F.col("kind"), F.col("key"))
+        F.desc(F.round("rank", 8)),
+        F.col("kind"),
+        node_order_key(F.col("kind"), F.col("key")),
     )
     summ = (
         sents.withColumn("rn", F.row_number().over(wsum))

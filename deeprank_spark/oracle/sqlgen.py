@@ -20,10 +20,22 @@ whole text-graph structure pipeline (different engine, different paradigm,
 same deterministic spec). Word lists and tag sets are interpolated from
 the same Python constants the engine uses, so the spec cannot drift.
 
-Scope: exactly the default CraftParams path dr_components exercises
-(all_recs=True, noun_defs=True, noun_self=False). The float-ranked dr_*
-outputs stay pytest-verified — per-conversation PageRank-to-tolerance has
-no faithful static-SQL form; the structural pipeline does, and this is it.
+Scope: exactly the default CraftParams path the dr_* contract queries
+exercise (all_recs=True, noun_defs=True, noun_self=False).
+
+Round 2 extends the structural pipeline with a RECURSIVE per-conversation
+PageRank (`_pr_ctes`) that mirrors pagerank._power_iteration's exact
+floating-point schedule — x0 uniform, dangling-mass redistribution,
+L1 `n*tol` convergence checked per conversation, each conversation
+stopping at its own iteration — which is what lets the float-ranked
+flagship outputs (dr_keywords / dr_summary / dr_relations /
+dr_line_graph) carry full DuckDB value oracles instead of rows-only
+checks. Verified: ranks match numpy to ~4e-17 (test_oracle_sqlgen.py).
+
+DuckDB 1.0 gotcha encoded below: inside a WITH RECURSIVE block, ANY
+cte body of the form `A UNION B` is parsed as base/recursive-step pair
+and loses the cross-branch dedupe. Every set-union that needs DISTINCT
+is therefore written `SELECT DISTINCT ... FROM (A UNION ALL B)`.
 """
 
 from __future__ import annotations
@@ -359,4 +371,291 @@ SELECT DISTINCT a.conv_id,
        'E' AS dst_kind, b.ek AS dst
 FROM ekey a JOIN ekey b ON a.conv_id = b.conv_id AND a.tail = b.head
 WHERE a.ek <> b.ek
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recursive per-conversation PageRank (numpy-schedule mirror)
+# ---------------------------------------------------------------------------
+
+D1 = "CAST(1.0 AS DOUBLE)"
+D0 = "CAST(0.0 AS DOUBLE)"
+ALPHA = "CAST(0.85 AS DOUBLE)"
+
+
+def _pr_ctes(edge_cte: str, tol: str = "1e-6", max_iter: int = 200) -> str:
+    """CTE block: per-conv PageRank over `edge_cte`(conv_id, s, d) distinct
+    string-keyed pairs -> `ranks`(conv_id, kind, key, rank).
+
+    Mirrors operators/pagerank.py:_power_iteration term by term:
+    p = x0 = 1/n uniform; contrib = sum(rank/outdeg) per dst; dm = rank mass
+    on out-degree-0 nodes; x' = alpha*(contrib + dm*p) + (1-alpha)*p;
+    per-conv stop at L1(x'-x) < n*tol (the `done` flag — rows for a
+    conversation are emitted one final time and the recursion then drops
+    that conversation). The safety cap at `max_iter` mirrors numpy's raise:
+    a non-converged conversation yields no `done` rows, so the driver's
+    row-count compare exposes it instead of an infinite recursion."""
+    p = f"({D1} / ns.n)"
+    return f"""
+prnode AS MATERIALIZED (SELECT DISTINCT conv_id, nd FROM (
+  SELECT conv_id, s AS nd FROM {edge_cte}
+  UNION ALL SELECT conv_id, d FROM {edge_cte})),
+prn AS MATERIALIZED (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM prnode GROUP BY conv_id),
+prdeg AS MATERIALIZED (SELECT conv_id, s, CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM {edge_cte} GROUP BY conv_id, s),
+pr AS (
+  SELECT n.conv_id, n.nd, {D1} / ns.n AS rank, 0 AS it, FALSE AS done
+  FROM prnode n JOIN prn ns ON n.conv_id = ns.conv_id
+  UNION ALL
+  SELECT conv_id, nd, next_rank, it + 1,
+         SUM(ABS(next_rank - rank)) OVER (PARTITION BY conv_id)
+           < n * CAST({tol} AS DOUBLE)
+  FROM (
+    SELECT cur.conv_id, cur.nd, cur.rank, cur.it, ns.n,
+           {ALPHA} * (COALESCE(c.contrib, {D0}) + dmt.dm * {p})
+             + ({D1} - {ALPHA}) * {p} AS next_rank
+    FROM pr cur
+    JOIN prn ns ON ns.conv_id = cur.conv_id
+    LEFT JOIN (
+      SELECT x.conv_id, e.d AS cnode, SUM(x.rank / o.deg) AS contrib
+      FROM pr x
+      JOIN {edge_cte} e ON x.conv_id = e.conv_id AND x.nd = e.s
+      JOIN prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
+      WHERE NOT x.done
+      GROUP BY x.conv_id, e.d
+    ) c ON c.conv_id = cur.conv_id AND c.cnode = cur.nd
+    JOIN (
+      SELECT x.conv_id,
+             COALESCE(SUM(CASE WHEN o.s IS NULL THEN x.rank END), {D0}) AS dm
+      FROM pr x
+      LEFT JOIN prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
+      WHERE NOT x.done
+      GROUP BY x.conv_id
+    ) dmt ON dmt.conv_id = cur.conv_id
+    WHERE NOT cur.done AND cur.it < {max_iter}
+  )
+),
+ranks AS MATERIALIZED (
+  SELECT conv_id, substr(nd, 1, 1) AS kind, substr(nd, 2) AS key, rank
+  FROM pr WHERE done
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar recognizer mirrors (functions/predicates.py)
+# ---------------------------------------------------------------------------
+
+_ENDS_WELL = ("ing", "ed", "ility", "ly", "er", "st")
+
+
+def _ends_well_sql(v: str) -> str:
+    return "(" + " OR ".join(f"{v} LIKE '%{s}'" for s in _ENDS_WELL) + ")"
+
+
+def _in_dict_sql(v: str) -> str:
+    """inDict (predicates.in_dict_col): dictionary + suffix heuristics."""
+    from ..wordlist import WORD_SET
+
+    stem = f"(CASE WHEN {v} LIKE '%s' THEN substr({v}, 1, length({v}) - 1) ELSE '' END)"
+    return (
+        f"(lower({v}) IN ({_inlist(WORD_SET)}) OR {_ends_well_sql(v)} "
+        f"OR ({v} LIKE '%s' AND {_ends_well_sql(stem)}))"
+    )
+
+
+def _is_word_sql(v: str) -> str:
+    return (
+        f"(length({v}) > 1 AND (regexp_full_match({v}, '[A-Z][A-Za-z0-9]*') "
+        f"OR {_in_dict_sql(v)}))"
+    )
+
+
+def _is_stop_sql(v: str) -> str:
+    from ..wordlist import STOP_WORDS
+
+    return f"(lower({v}) IN ({_inlist(STOP_WORDS)}))"
+
+
+def _maybe_word_nodash_sql(v: str) -> str:
+    spec = (
+        f"({v} IN ('a', 'A', '''s', 'I') "
+        f"OR (regexp_matches({v}, '^[A-Z]') AND {v} LIKE '%.'))"
+    )
+    punct_chars = [",", ".", "?", ";", ":", "-", "'", "(", ")", '"']
+    punct = f"({v} IN ({_inlist(punct_chars)}))"
+    return (
+        f"({_is_word_sql(v)} OR {spec} OR {punct} "
+        f"OR regexp_full_match({v}, '[0-9]+'))"
+    )
+
+
+def _maybe_word_sql(v: str) -> str:
+    """maybeWord (predicates.maybe_word_col): no-dash form or all dash
+    parts pass the no-dash form."""
+    dash = (
+        f"(len(string_split({v}, '-')) >= 2 AND len(list_filter("
+        f"string_split({v}, '-'), p -> NOT (length(p) > 0 "
+        f"AND {_maybe_word_nodash_sql('p')}))) = 0)"
+    )
+    return f"({v} IS NOT NULL AND ({_maybe_word_nodash_sql(v)} OR {dash}))"
+
+
+# ---------------------------------------------------------------------------
+# Extraction mirrors (operators/extract.py) over the re-derived graph
+# ---------------------------------------------------------------------------
+
+
+def _radj_ctes() -> str:
+    """adjusted_ranks: sentence-length penalty
+    rank/(1 + ln(1 + |len - avg_len|)) on S nodes (extract.py:34-60).
+    sent_len counts ALL tokens of the turn (F.size(words)); the average is
+    over every turn of the conversation, including token-less ones."""
+    return f"""
+slen AS MATERIALIZED (
+  SELECT conv_id, sent_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_SQL_RE}')) AS DOUBLE) AS sent_len
+  FROM turn),
+avgl AS MATERIALIZED (
+  SELECT conv_id, AVG(sent_len) AS avg_len FROM slen GROUP BY conv_id),
+radj AS MATERIALIZED (
+  SELECT r.conv_id, r.kind, r.key,
+         CASE WHEN r.kind = 'S' AND sl.sent_len IS NOT NULL
+              THEN r.rank / ({D1} + ln({D1} + abs(sl.sent_len - a.avg_len)))
+              ELSE r.rank END AS rank
+  FROM ranks r
+  LEFT JOIN slen sl ON sl.conv_id = r.conv_id AND r.kind = 'S'
+                   AND CAST(sl.sent_id AS VARCHAR) = r.key
+  LEFT JOIN avgl a ON a.conv_id = r.conv_id
+)"""
+
+
+def _text_rank_prefix(doc_filter: str = "") -> str:
+    """parse -> edges -> per-conv PageRank -> adjusted ranks CTE chain."""
+    return (
+        _strip_tail(_pipeline_ctes(doc_filter))
+        + ",\nedg AS MATERIALIZED (SELECT conv_id, src_kind || src AS s, "
+        "dst_kind || dst AS d FROM gedge),"
+        + _pr_ctes("edg")
+        + ","
+        + _radj_ctes()
+    )
+
+
+def dr_keywords_sql(k: int = 6) -> str:
+    """bestWords (extract.keywords): maybeWord, non-stopword word nodes
+    containing a noun-set lemma, top-k by adjusted rank with the pinned
+    (rank DESC, key) order."""
+    return _text_rank_prefix() + f""",
+kcand AS MATERIALIZED (
+  SELECT conv_id, key, rank FROM radj
+  WHERE kind = 'W' AND {_maybe_word_sql('key')} AND NOT {_is_stop_sql('key')}),
+kwithnoun AS MATERIALIZED (
+  SELECT DISTINCT p.conv_id, p.key
+  FROM (SELECT conv_id, key, UNNEST(string_split(key, ' ')) AS lemma
+        FROM kcand) p
+  JOIN noun_set ns ON ns.conv_id = p.conv_id AND ns.lemma = p.lemma)
+SELECT conv_id, keyword, ROUND(rank, 8) AS rank FROM (
+  SELECT c.conv_id, c.key AS keyword, c.rank,
+         ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                            ORDER BY ROUND(c.rank, 8) DESC, c.key) AS rn
+  FROM kcand c
+  JOIN kwithnoun w ON w.conv_id = c.conv_id AND w.key = c.key
+) WHERE rn <= {k}
+"""
+
+
+def dr_summary_sql(k: int = 5) -> str:
+    """bestSentences (extract.summary): top-k clean sentences by adjusted
+    rank; sentence-id ties compare numerically (lpad mirror of
+    node_order_key)."""
+    return _text_rank_prefix() + f""",
+clean_sent AS MATERIALIZED (
+  SELECT conv_id, sent_id FROM tk
+  GROUP BY conv_id, sent_id
+  HAVING COUNT(*) >= 3
+     AND BOOL_AND(length(lemma) > 0
+                  AND ({_maybe_word_sql('lemma')} OR {_in_dict_sql('lemma')}))),
+stext AS MATERIALIZED (
+  SELECT conv_id, sent_id, string_agg(word, ' ' ORDER BY pos) AS sent_text
+  FROM tok GROUP BY conv_id, sent_id)
+SELECT conv_id, turn_idx, sent_text FROM (
+  SELECT r.conv_id, CAST(r.key AS INT) AS turn_idx, st.sent_text,
+         ROW_NUMBER() OVER (PARTITION BY r.conv_id
+                            ORDER BY ROUND(r.rank, 8) DESC,
+                                     lpad(r.key, 20, '0')) AS rn
+  FROM radj r
+  JOIN clean_sent cs ON cs.conv_id = r.conv_id
+                    AND CAST(cs.sent_id AS VARCHAR) = r.key
+  JOIN stext st ON st.conv_id = r.conv_id AND st.sent_id = cs.sent_id
+  WHERE r.kind = 'S'
+) WHERE rn <= {k}
+"""
+
+
+def dr_relations_sql(k: int = 10) -> str:
+    """bestSVOs (edges.svo_table + extract.scored_svos): verb->noun
+    subj/obj deps with isWord endpoints joined on the shared verb, scored
+    (2*rank(subj) + rank(obj))/3 over word ranks, distinct, top-k."""
+    vn = "substr(lftag, 1, 1) = 'V' AND substr(lttag, 1, 1) = 'N'"
+    word_ok = (
+        f"lfrom <> lto AND {_is_word_sql('lfrom')} AND {_is_word_sql('lto')}"
+    )
+    return _text_rank_prefix() + f""",
+svs AS MATERIALIZED (
+  SELECT DISTINCT conv_id, sent_id, lfrom AS verb, lftag AS vtag, lto AS subj
+  FROM resolved
+  WHERE rel LIKE '%subj%' AND {vn} AND {word_ok}),
+svo_o AS MATERIALIZED (
+  SELECT DISTINCT conv_id, sent_id, lfrom AS verb, lftag AS vtag, lto AS obj
+  FROM resolved
+  WHERE rel NOT LIKE '%subj%' AND rel LIKE '%obj%' AND {vn} AND {word_ok}),
+svo AS MATERIALIZED (
+  SELECT s.conv_id, s.sent_id, s.subj, s.verb, o.obj
+  FROM svs s
+  JOIN svo_o o ON s.conv_id = o.conv_id AND s.sent_id = o.sent_id
+              AND s.verb = o.verb AND s.vtag = o.vtag),
+scored AS MATERIALIZED (
+  SELECT DISTINCT v.conv_id, v.subj, v.verb, v.obj, v.sent_id,
+         (CAST(2.0 AS DOUBLE) * rs.rank + ro.rank) / CAST(3.0 AS DOUBLE) AS score
+  FROM svo v
+  JOIN radj rs ON rs.conv_id = v.conv_id AND rs.kind = 'W' AND rs.key = v.subj
+  JOIN radj ro ON ro.conv_id = v.conv_id AND ro.kind = 'W' AND ro.key = v.obj
+  WHERE rs.rank <> 0 AND ro.rank <> 0)
+SELECT conv_id, subj, verb, obj, sent_id, ROUND(score, 8) AS score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+    ORDER BY ROUND(score, 8) DESC, subj, verb, obj, sent_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+def dr_line_graph_sql(doc_mod: int = 50, k: int = 8) -> str:
+    """best_word_edges (line_graph.py): PageRank over the line graph,
+    top-k word-word edges per conversation."""
+    prefix = _strip_tail(_pipeline_ctes(f"WHERE doc_id % {doc_mod} = 0"))
+    return prefix + f""",
+ekey AS MATERIALIZED (
+  SELECT conv_id,
+         (src_kind || src) || '>' || (dst_kind || dst) AS ek,
+         src_kind || src AS head,
+         dst_kind || dst AS tail
+  FROM gedge),
+lgedg AS MATERIALIZED (
+  SELECT DISTINCT a.conv_id, 'E' || a.ek AS s, 'E' || b.ek AS d
+  FROM ekey a JOIN ekey b ON a.conv_id = b.conv_id AND a.tail = b.head
+  WHERE a.ek <> b.ek),{_pr_ctes("lgedg")}
+SELECT conv_id, src_word, dst_word, ROUND(rank, 8) AS rank FROM (
+  SELECT conv_id,
+         substr(string_split(key, '>')[1], 2) AS src_word,
+         substr(string_split(key, '>')[2], 2) AS dst_word, rank,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ROUND(rank, 8) DESC,
+           substr(string_split(key, '>')[1], 2),
+           substr(string_split(key, '>')[2], 2)) AS rn
+  FROM ranks
+  WHERE len(string_split(key, '>')) >= 2
+    AND length(string_split(key, '>')[2]) > 0
+    AND substr(string_split(key, '>')[1], 1, 1) = 'W'
+    AND substr(string_split(key, '>')[2], 1, 1) = 'W'
+) WHERE rn <= {k}
 """

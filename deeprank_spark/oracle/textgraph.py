@@ -189,12 +189,13 @@ def pagerank(
 
 
 def ordered_nodes(ranks: dict) -> list:
-    """Pinned total order: rank DESC, kind ASC ('S' < 'W'), key ASC."""
+    """Pinned total order: rank DESC (compared at the published 8-decimal
+    precision, mirroring extract._topk), kind ASC ('S' < 'W'), key ASC."""
     def key(item):
         n, r = item
         if isinstance(n, int):
-            return (-r, "S", "%020d" % n)
-        return (-r, "W", n)
+            return (-round(r, 8), "S", "%020d" % n)
+        return (-round(r, 8), "W", n)
 
     return [n for n, _ in sorted(ranks.items(), key=key)]
 
@@ -260,7 +261,7 @@ def best_svos(dg: DocGraph, ranks: dict, k: int) -> list:
         if srank and orank:
             score = (2 * srank + orank) / 3
             scored.append((score, (subj, verb, obj, sent_id)))
-    scored.sort(key=lambda x: (-x[0], x[1]))
+    scored.sort(key=lambda x: (-round(x[0], 8), x[1]))
     out, seen = [], set()
     for _, e in scored:
         if e in seen:
