@@ -593,15 +593,16 @@ SELECT conv_id, turn_idx, sent_text FROM (
 """
 
 
-def dr_relations_sql(k: int = 10) -> str:
+def _scored_svo_ctes(k: int = 10) -> str:
     """bestSVOs (edges.svo_table + extract.scored_svos): verb->noun
     subj/obj deps with isWord endpoints joined on the shared verb, scored
-    (2*rank(subj) + rank(obj))/3 over word ranks, distinct, top-k."""
+    (2*rank(subj) + rank(obj))/3 over word ranks, distinct, ranked -> the
+    `topsvo` CTE (rows with rn <= k are the published relations)."""
     vn = "substr(lftag, 1, 1) = 'V' AND substr(lttag, 1, 1) = 'N'"
     word_ok = (
         f"lfrom <> lto AND {_is_word_sql('lfrom')} AND {_is_word_sql('lto')}"
     )
-    return _text_rank_prefix() + f""",
+    return f"""
 svs AS MATERIALIZED (
   SELECT DISTINCT conv_id, sent_id, lfrom AS verb, lftag AS vtag, lto AS subj
   FROM resolved
@@ -621,13 +622,68 @@ scored AS MATERIALIZED (
   FROM svo v
   JOIN radj rs ON rs.conv_id = v.conv_id AND rs.kind = 'W' AND rs.key = v.subj
   JOIN radj ro ON ro.conv_id = v.conv_id AND ro.kind = 'W' AND ro.key = v.obj
-  WHERE rs.rank <> 0 AND ro.rank <> 0)
-SELECT conv_id, subj, verb, obj, sent_id, ROUND(score, 8) AS score FROM (
+  WHERE rs.rank <> 0 AND ro.rank <> 0),
+topsvo AS MATERIALIZED (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
     ORDER BY ROUND(score, 8) DESC, subj, verb, obj, sent_id) AS rn
-  FROM scored
+  FROM scored)"""
+
+
+def dr_relations_sql(k: int = 10) -> str:
+    return (
+        _text_rank_prefix()
+        + ","
+        + _scored_svo_ctes(k)
+        + f"""
+SELECT conv_id, subj, verb, obj, sent_id, ROUND(score, 8) AS score
+FROM topsvo WHERE rn <= {k}
+"""
+    )
+
+
+def dr_svo_extended_sql(doc_mod: int = 20, k: int = 10) -> str:
+    """extend_svos_with_taxonomy (extract.py:172-221): each endpoint of the
+    top-k SVOs joined to the shipped taxonomy dimension (inlined VALUES of
+    functions/taxonomy.taxonomy_rows — same constants, no drift), emitted
+    as is_a / part_of rows, both ends required to occur among the
+    document's word ranks, self-pairs dropped, distinct, top-k per
+    conversation in (subj, verb, obj, sent_id) order."""
+    from ..functions.taxonomy import taxonomy_rows
+
+    vals = ", ".join(
+        f"('{a}', '{r}', '{b}')" for a, r, b in taxonomy_rows()
+    )
+    return (
+        _text_rank_prefix(f"WHERE doc_id % {doc_mod} = 0")
+        + ","
+        + _scored_svo_ctes(k)
+        + f""",
+wn_rel AS MATERIALIZED (
+  SELECT * FROM (VALUES {vals}) t(lemma, rel_type, related)),
+ends AS MATERIALIZED (
+  SELECT conv_id, w, sent_id FROM (
+    SELECT conv_id, subj AS w, sent_id FROM topsvo WHERE rn <= {k}
+    UNION ALL
+    SELECT conv_id, obj AS w, sent_id FROM topsvo WHERE rn <= {k})),
+ext AS MATERIALIZED (
+  SELECT DISTINCT e.conv_id,
+    CASE WHEN t.rel_type IN ('holo', 'hyper') THEN e.w ELSE t.related END AS subj,
+    CASE WHEN t.rel_type IN ('hyper', 'hypo') THEN 'is_a' ELSE 'part_of' END AS verb,
+    CASE WHEN t.rel_type IN ('holo', 'hyper') THEN t.related ELSE e.w END AS obj,
+    e.sent_id
+  FROM ends e JOIN wn_rel t ON e.w = t.lemma),
+docw AS MATERIALIZED (
+  SELECT DISTINCT conv_id, key FROM radj WHERE kind = 'W')
+SELECT conv_id, subj, verb, obj, sent_id FROM (
+  SELECT x.*, ROW_NUMBER() OVER (PARTITION BY x.conv_id
+    ORDER BY x.subj, x.verb, x.obj, x.sent_id) AS rn
+  FROM ext x
+  JOIN docw ws ON ws.conv_id = x.conv_id AND ws.key = x.subj
+  JOIN docw wo ON wo.conv_id = x.conv_id AND wo.key = x.obj
+  WHERE x.subj <> x.obj
 ) WHERE rn <= {k}
 """
+    )
 
 
 def dr_line_graph_sql(doc_mod: int = 50, k: int = 8) -> str:
