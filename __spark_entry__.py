@@ -1075,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "dr_relations": _dr_rank_oracle("dr_relations_sql"),
         "dr_line_graph": _dr_rank_oracle("dr_line_graph_sql"),
         "dr_svo_extended": _dr_rank_oracle("dr_svo_extended_sql"),
+        "dr_query_answers": _dr_rank_oracle("dr_query_answers_sql"),
     }
 
 

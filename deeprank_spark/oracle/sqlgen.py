@@ -111,180 +111,196 @@ def _lemma_case(tok: str, tag: str) -> str:
       ELSE {low} END"""
 
 
-def _pipeline_ctes(doc_filter: str = "") -> str:
-    """CTE chain from raw documents through the distinct graph-edge set
-    (`gedge`); doc_filter is an optional WHERE clause on documents."""
+def _pipeline_ctes(
+    doc_filter: str = "", q: str = "", turn_sql: str | None = None
+) -> str:
+    """CTE chain from a turn source through the distinct graph-edge set
+    (`{q}gedge`) plus the per-sentence edge table (`{q}medge`).
+
+    doc_filter: optional WHERE clause on documents (default turn source).
+    q: CTE-name prefix, so the pipeline can be instantiated twice in one
+       statement (document side `q=''` + query side `q='q_'` for the
+       entry-point-C oracle). Column names are never prefixed.
+    turn_sql: optional replacement body for the `{q}turn` CTE — any SELECT
+       yielding (conv_id, sent_id, text) — used to feed query texts through
+       the SAME tokenizer/tagger/linker mirror the documents go through.
+    """
     nounish = _inlist(NOUNISH)
     nn3 = _inlist(("NN", "NNS", "NNP"))
     tag_expr = _tag_case("tk.word", "tg.tag", "(tk.pos = 1)")
     tag_base = _tag_case("word", "''", "(pos = 1)")
     lemma_expr = _lemma_case("word", "tag")
-    return f"""
-WITH RECURSIVE
+    if turn_sql is None:
+        turn_block = f"""
 -- A. documents -> 12-token turn chunks (= _docs_as_transcripts)
-doc AS MATERIALIZED (
+{q}doc AS MATERIALIZED (
   SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id,
          string_split(text, ' ') AS toks,
          CAST(ceil(len(string_split(text, ' ')) / {TURN_TOKENS}.0) AS INT) AS n_chunks
   FROM documents {doc_filter}
 ),
-turn AS MATERIALIZED (
+{q}turn AS MATERIALIZED (
   SELECT conv_id, CAST(r.c AS INT) AS sent_id,
          array_to_string(list_slice(toks, r.c * {TURN_TOKENS} + 1,
                                     (r.c + 1) * {TURN_TOKENS}), ' ') AS text
-  FROM doc, UNNEST(range(0, n_chunks)) AS r(c)
-),
+  FROM {q}doc, UNNEST(range(0, n_chunks)) AS r(c)
+),"""
+    else:
+        turn_block = f"""
+{q}turn AS MATERIALIZED ({turn_sql}),"""
+    return f"""
+WITH RECURSIVE{turn_block}
 -- B. tokenize (TOKEN_RE) with 1-based positions
-tok AS MATERIALIZED (
+{q}tok AS MATERIALIZED (
   SELECT conv_id, sent_id, CAST(r.p AS INT) AS pos,
          ws[CAST(r.p AS INT)] AS word
   FROM (SELECT conv_id, sent_id, regexp_extract_all(text, '{TOKEN_SQL_RE}') AS ws
-        FROM turn),
+        FROM {q}turn),
        UNNEST(range(1, len(ws) + 1)) AS r(p)
 ),
 -- C. sequential tagger: prev-tag dependence -> recursion over positions
-tg AS (
+{q}tg AS (
   SELECT conv_id, sent_id, pos, word, {tag_base} AS tag
-  FROM tok WHERE pos = 1
+  FROM {q}tok WHERE pos = 1
   UNION ALL
   SELECT tk.conv_id, tk.sent_id, tk.pos, tk.word, {tag_expr} AS tag
-  FROM tg JOIN tok tk
+  FROM {q}tg tg JOIN {q}tok tk
     ON tk.conv_id = tg.conv_id AND tk.sent_id = tg.sent_id
    AND tk.pos = tg.pos + 1
 ),
-tk AS MATERIALIZED (
-  SELECT conv_id, sent_id, pos, word, tag, {lemma_expr} AS lemma FROM tg
+{q}tk AS MATERIALIZED (
+  SELECT conv_id, sent_id, pos, word, tag, {lemma_expr} AS lemma FROM {q}tg
 ),
 -- D. per-sentence word->(lemma,tag), last occurrence wins (w2l_sentence)
-w2l AS MATERIALIZED (
+{q}w2l AS MATERIALIZED (
   SELECT conv_id, sent_id, word,
          max_by(lemma, pos) AS lemma, max_by(tag, pos) AS tag
-  FROM tk WHERE length(word) > 0
+  FROM {q}tk WHERE length(word) > 0
   GROUP BY conv_id, sent_id, word
 ),
 -- E. lemma -> first noun-occurrence sentence (noun_set_table)
-noun_set AS MATERIALIZED (
+{q}noun_set AS MATERIALIZED (
   SELECT conv_id, lemma, MIN(sent_id) AS first_sent
-  FROM tk WHERE length(lemma) > 0 AND substr(tag, 1, 1) = 'N'
+  FROM {q}tk WHERE length(lemma) > 0 AND substr(tag, 1, 1) = 'N'
   GROUP BY conv_id, lemma
 ),
 -- F. dependency structure (parse_sentence) as window predicates.
 --    Only the SET of (from_pos, rel, to_pos) matters downstream.
-root AS MATERIALIZED (
+{q}root AS MATERIALIZED (
   SELECT conv_id, sent_id,
          COALESCE(MIN(pos) FILTER (WHERE tag LIKE 'V%'),
                   MIN(pos) FILTER (WHERE tag IN ({nounish})), 1) AS root
-  FROM tk GROUP BY conv_id, sent_id
+  FROM {q}tk GROUP BY conv_id, sent_id
 ),
-subj AS MATERIALIZED (
+{q}subj AS MATERIALIZED (
   SELECT t.conv_id, t.sent_id, MAX(t.pos) AS subj
-  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  FROM {q}tk t JOIN {q}root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
   WHERE t.pos < r.root AND t.tag IN ({nounish})
   GROUP BY t.conv_id, t.sent_id
 ),
-comp_pair AS MATERIALIZED (
+{q}comp_pair AS MATERIALIZED (
   SELECT a.conv_id, a.sent_id, a.pos AS a_pos, b.pos AS b_pos
-  FROM tk a JOIN tk b ON a.conv_id = b.conv_id AND a.sent_id = b.sent_id
+  FROM {q}tk a JOIN {q}tk b ON a.conv_id = b.conv_id AND a.sent_id = b.sent_id
    AND b.pos = a.pos + 1
   WHERE a.tag IN ({nn3}) AND b.tag IN ({nn3})
 ),
 -- post-root eligible nouns: nounish, beyond root, not a compound-left
-elig AS MATERIALIZED (
+{q}elig AS MATERIALIZED (
   SELECT t.conv_id, t.sent_id, t.pos, r.root
-  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  FROM {q}tk t JOIN {q}root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
   WHERE t.pos > r.root AND t.tag IN ({nounish})
-    AND NOT EXISTS (SELECT 1 FROM comp_pair c
+    AND NOT EXISTS (SELECT 1 FROM {q}comp_pair c
                     WHERE c.conv_id = t.conv_id AND c.sent_id = t.sent_id
                       AND c.a_pos = t.pos)
 ),
 -- pending preposition per eligible noun: latest IN after the previous
 -- eligible noun (the loop's prep register: set at IN, cleared on use)
-elig2 AS MATERIALIZED (
+{q}elig2 AS MATERIALIZED (
   SELECT e.conv_id, e.sent_id, e.pos, e.root,
-         (SELECT MAX(i.pos) FROM tk i
+         (SELECT MAX(i.pos) FROM {q}tk i
           WHERE i.conv_id = e.conv_id AND i.sent_id = e.sent_id
             AND i.tag = 'IN' AND i.pos > e.root AND i.pos < e.pos
-            AND i.pos > COALESCE((SELECT MAX(e2.pos) FROM elig e2
+            AND i.pos > COALESCE((SELECT MAX(e2.pos) FROM {q}elig e2
                                   WHERE e2.conv_id = e.conv_id
                                     AND e2.sent_id = e.sent_id
                                     AND e2.pos < e.pos), e.root)
          ) AS pending_in
-  FROM elig e
+  FROM {q}elig e
 ),
-dobj AS MATERIALIZED (
+{q}dobj AS MATERIALIZED (
   SELECT conv_id, sent_id, MIN(pos) AS pos
-  FROM elig2 WHERE pending_in IS NULL
+  FROM {q}elig2 WHERE pending_in IS NULL
   GROUP BY conv_id, sent_id
 ),
 -- DT/JJ/RB attach forward to the nearest noun-ish token
-mods AS MATERIALIZED (
+{q}mods AS MATERIALIZED (
   SELECT t.conv_id, t.sent_id, t.pos, t.tag,
-         (SELECT MIN(n.pos) FROM tk n
+         (SELECT MIN(n.pos) FROM {q}tk n
           WHERE n.conv_id = t.conv_id AND n.sent_id = t.sent_id
             AND n.pos > t.pos AND n.tag IN ({nounish})) AS nxt
-  FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+  FROM {q}tk t JOIN {q}root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
   WHERE t.tag IN ('DT', 'JJ', 'RB') AND t.pos <> r.root
 ),
 -- deps as (from_pos, rel, to_pos); UNION ALL branches mirror the cascade
-dep_pos AS MATERIALIZED (
+{q}dep_pos AS MATERIALIZED (
   SELECT s.conv_id, s.sent_id, r.root AS f_pos, 'nsubj' AS rel, s.subj AS t_pos
-    FROM subj s JOIN root r ON s.conv_id = r.conv_id AND s.sent_id = r.sent_id
+    FROM {q}subj s JOIN {q}root r ON s.conv_id = r.conv_id AND s.sent_id = r.sent_id
    WHERE s.subj <> r.root
   UNION ALL
-  SELECT conv_id, sent_id, b_pos, 'compound', a_pos FROM comp_pair
+  SELECT conv_id, sent_id, b_pos, 'compound', a_pos FROM {q}comp_pair
   UNION ALL
   SELECT e.conv_id, e.sent_id, e.root, 'dobj', e.pos
-    FROM elig2 e JOIN dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
+    FROM {q}elig2 e JOIN {q}dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
    WHERE e.pos = d.pos
   UNION ALL
   SELECT e.conv_id, e.sent_id, e.root, 'nmod', e.pos
-    FROM elig2 e LEFT JOIN dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
+    FROM {q}elig2 e LEFT JOIN {q}dobj d ON e.conv_id = d.conv_id AND e.sent_id = d.sent_id
    WHERE d.pos IS NULL OR e.pos <> d.pos
   UNION ALL
   SELECT conv_id, sent_id, pos, 'case', pending_in
-    FROM elig2 e
+    FROM {q}elig2 e
    WHERE pending_in IS NOT NULL
-     AND NOT EXISTS (SELECT 1 FROM dobj d
+     AND NOT EXISTS (SELECT 1 FROM {q}dobj d
                      WHERE d.conv_id = e.conv_id AND d.sent_id = e.sent_id
                        AND d.pos = e.pos)
   UNION ALL
   SELECT conv_id, sent_id, nxt, CASE WHEN tag = 'DT' THEN 'det' ELSE 'amod' END, pos
-    FROM mods WHERE nxt IS NOT NULL
+    FROM {q}mods WHERE nxt IS NOT NULL
   UNION ALL
   SELECT t.conv_id, t.sent_id, r.root, 'punct', t.pos
-    FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+    FROM {q}tk t JOIN {q}root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
    WHERE t.tag = '.' AND t.pos <> r.root
 ),
-attached AS MATERIALIZED (
-  SELECT conv_id, sent_id, t_pos AS pos FROM dep_pos
+{q}attached AS MATERIALIZED (
+  SELECT conv_id, sent_id, t_pos AS pos FROM {q}dep_pos
   UNION
-  SELECT conv_id, sent_id, root FROM root
+  SELECT conv_id, sent_id, root FROM {q}root
 ),
-dep_all AS MATERIALIZED (
-  SELECT * FROM dep_pos
+{q}dep_all AS MATERIALIZED (
+  SELECT * FROM {q}dep_pos
   UNION ALL
   SELECT t.conv_id, t.sent_id, r.root, 'dep', t.pos
-    FROM tk t JOIN root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
-   WHERE NOT EXISTS (SELECT 1 FROM attached a
+    FROM {q}tk t JOIN {q}root r ON t.conv_id = r.conv_id AND t.sent_id = r.sent_id
+   WHERE NOT EXISTS (SELECT 1 FROM {q}attached a
                      WHERE a.conv_id = t.conv_id AND a.sent_id = t.sent_id
                        AND a.pos = t.pos)
 ),
 -- G. resolve through w2l (word-level equi-joins) + first-occurrence probe
-resolved AS MATERIALIZED (
+{q}resolved AS MATERIALIZED (
   SELECT d.conv_id, d.sent_id, d.rel,
          wf.lemma AS lfrom, wf.tag AS lftag,
          wt.lemma AS lto, wt.tag AS lttag,
          ns.first_sent AS lto_first
-  FROM dep_all d
-  JOIN tk f ON f.conv_id = d.conv_id AND f.sent_id = d.sent_id AND f.pos = d.f_pos
-  JOIN tk t ON t.conv_id = d.conv_id AND t.sent_id = d.sent_id AND t.pos = d.t_pos
-  JOIN w2l wf ON wf.conv_id = d.conv_id AND wf.sent_id = d.sent_id AND wf.word = f.word
-  JOIN w2l wt ON wt.conv_id = d.conv_id AND wt.sent_id = d.sent_id AND wt.word = t.word
-  LEFT JOIN noun_set ns ON ns.conv_id = d.conv_id AND ns.lemma = wt.lemma
+  FROM {q}dep_all d
+  JOIN {q}tk f ON f.conv_id = d.conv_id AND f.sent_id = d.sent_id AND f.pos = d.f_pos
+  JOIN {q}tk t ON t.conv_id = d.conv_id AND t.sent_id = d.sent_id AND t.pos = d.t_pos
+  JOIN {q}w2l wf ON wf.conv_id = d.conv_id AND wf.sent_id = d.sent_id AND wf.word = f.word
+  JOIN {q}w2l wt ON wt.conv_id = d.conv_id AND wt.sent_id = d.sent_id AND wt.word = t.word
+  LEFT JOIN {q}noun_set ns ON ns.conv_id = d.conv_id AND ns.lemma = wt.lemma
 ),
--- H. edgesInSent cascade -> graph edges (default params: all_recs on,
---    noun_defs on, noun_self off); only (kind, key) endpoints survive
-branch AS MATERIALIZED (
+-- H. edgesInSent cascade -> per-sentence edges, then distinct graph edges
+--    (default params: all_recs on, noun_defs on, noun_self off)
+{q}branch AS MATERIALIZED (
   SELECT *,
     (rel = 'punct' AND lttag = '.') AS is_punct_dot,
     (substr(lftag, 1, 1) = 'V' AND substr(lttag, 1, 1) = 'N'
@@ -294,31 +310,34 @@ branch AS MATERIALIZED (
     CAST(sent_id AS VARCHAR) AS sk,
     (substr(lftag, 1, 1) = 'N' AND substr(lttag, 1, 1) = 'N'
      AND rel = 'compound') AS is_comp
-  FROM resolved
+  FROM {q}resolved
 ),
-gedge AS MATERIALIZED (
-  SELECT DISTINCT conv_id, src_kind, src, dst_kind, dst FROM (
-    SELECT conv_id, 'S' AS src_kind, sk AS src, 'W' AS dst_kind, lfrom AS dst
-      FROM branch WHERE is_punct_dot
+{q}medge AS MATERIALIZED (
+  SELECT conv_id, src_kind, src, dst_kind, dst, sent_id FROM (
+    SELECT conv_id, 'S' AS src_kind, sk AS src, 'W' AS dst_kind, lfrom AS dst, sent_id
+      FROM {q}branch WHERE is_punct_dot
     UNION ALL
-    SELECT conv_id, 'W', lfrom, 'W', lto FROM branch
+    SELECT conv_id, 'W', lfrom, 'W', lto, sent_id FROM {q}branch
      WHERE NOT is_punct_dot AND (vn OR to_noun)
     UNION ALL
-    SELECT conv_id, 'S', sk, 'W', lto FROM branch WHERE NOT is_punct_dot AND vn
+    SELECT conv_id, 'S', sk, 'W', lto, sent_id FROM {q}branch WHERE NOT is_punct_dot AND vn
     UNION ALL
-    SELECT conv_id, 'W', lto, 'S', sk FROM branch
+    SELECT conv_id, 'W', lto, 'S', sk, sent_id FROM {q}branch
      WHERE NOT is_punct_dot AND (vn OR to_noun) AND first_in
     UNION ALL
-    SELECT conv_id, 'W', lto, 'W', lfrom FROM branch
+    SELECT conv_id, 'W', lto, 'W', lfrom, sent_id FROM {q}branch
      WHERE NOT is_punct_dot AND NOT vn AND NOT to_noun
     UNION ALL
-    SELECT conv_id, 'W', lto, 'S', sk FROM branch
+    SELECT conv_id, 'W', lto, 'S', sk, sent_id FROM {q}branch
      WHERE NOT is_punct_dot AND NOT vn AND NOT to_noun
     UNION ALL
-    SELECT conv_id, 'W', lfrom, 'W', lto || ' ' || lfrom FROM branch WHERE is_comp
+    SELECT conv_id, 'W', lfrom, 'W', lto || ' ' || lfrom, sent_id FROM {q}branch WHERE is_comp
     UNION ALL
-    SELECT conv_id, 'W', lto, 'W', lto || ' ' || lfrom FROM branch WHERE is_comp
+    SELECT conv_id, 'W', lto, 'W', lto || ' ' || lfrom, sent_id FROM {q}branch WHERE is_comp
   )
+),
+{q}gedge AS MATERIALIZED (
+  SELECT DISTINCT conv_id, src_kind, src, dst_kind, dst FROM {q}medge
 ),
 gedge_end AS (SELECT 1)"""
 
@@ -383,62 +402,97 @@ D0 = "CAST(0.0 AS DOUBLE)"
 ALPHA = "CAST(0.85 AS DOUBLE)"
 
 
-def _pr_ctes(edge_cte: str, tol: str = "1e-6", max_iter: int = 200) -> str:
+def _pr_ctes(
+    edge_cte: str,
+    tol: str = "1e-6",
+    max_iter: int = 200,
+    r: str = "",
+    pers_cte: str | None = None,
+) -> str:
     """CTE block: per-conv PageRank over `edge_cte`(conv_id, s, d) distinct
-    string-keyed pairs -> `ranks`(conv_id, kind, key, rank).
+    string-keyed pairs -> `{r}ranks`(conv_id, kind, key, rank).
 
-    Mirrors operators/pagerank.py:_power_iteration term by term:
-    p = x0 = 1/n uniform; contrib = sum(rank/outdeg) per dst; dm = rank mass
-    on out-degree-0 nodes; x' = alpha*(contrib + dm*p) + (1-alpha)*p;
-    per-conv stop at L1(x'-x) < n*tol (the `done` flag — rows for a
-    conversation are emitted one final time and the recursion then drops
-    that conversation). The safety cap at `max_iter` mirrors numpy's raise:
-    a non-converged conversation yields no `done` rows, so the driver's
-    row-count compare exposes it instead of an infinite recursion."""
-    p = f"({D1} / ns.n)"
+    Mirrors operators/pagerank.py:_power_iteration / _conv_pagerank_pdf
+    term by term: x0 = 1/n uniform; contrib = sum(rank/outdeg) per dst;
+    dm = rank mass on out-degree-0 nodes; x' = alpha*(contrib + dm*p) +
+    (1-alpha)*p; per-conv stop at L1(x'-x) < n*tol (the `done` flag — rows
+    for a conversation are emitted one final time and the recursion then
+    drops that conversation). The safety cap at `max_iter` mirrors numpy's
+    raise: a non-converged conversation yields no `done` rows, so the
+    driver's row-count compare exposes it instead of an infinite recursion.
+
+    r: CTE-name prefix (two PageRanks can coexist in one statement).
+    pers_cte: optional personalization table (conv_id, nd, weight) —
+    restricted to graph nodes and L1-normalized per conversation exactly
+    as _conv_pagerank_pdf does (missing nodes weight 0; all-zero vector
+    falls back to uniform); p is then that vector instead of 1/n."""
+    if pers_cte is None:
+        pers_block = f""",
+{r}pvec AS MATERIALIZED (
+  SELECT n.conv_id, n.nd, {D1} / ns.n AS pv
+  FROM {r}prnode n JOIN {r}prn ns ON n.conv_id = ns.conv_id)"""
+    else:
+        pers_block = f""",
+{r}ppre AS MATERIALIZED (
+  SELECT p.conv_id, p.nd, SUM(p.weight) AS w
+  FROM {pers_cte} p
+  JOIN {r}prnode n ON n.conv_id = p.conv_id AND n.nd = p.nd
+  GROUP BY p.conv_id, p.nd),
+{r}psum AS MATERIALIZED (
+  SELECT conv_id, SUM(w) AS tw FROM {r}ppre GROUP BY conv_id),
+{r}pvec AS MATERIALIZED (
+  SELECT n.conv_id, n.nd,
+         CASE WHEN ps.tw IS NOT NULL AND ps.tw > 0
+              THEN COALESCE(pp.w, {D0}) / ps.tw
+              ELSE {D1} / ns.n END AS pv
+  FROM {r}prnode n
+  JOIN {r}prn ns ON ns.conv_id = n.conv_id
+  LEFT JOIN {r}psum ps ON ps.conv_id = n.conv_id
+  LEFT JOIN {r}ppre pp ON pp.conv_id = n.conv_id AND pp.nd = n.nd)"""
     return f"""
-prnode AS MATERIALIZED (SELECT DISTINCT conv_id, nd FROM (
+{r}prnode AS MATERIALIZED (SELECT DISTINCT conv_id, nd FROM (
   SELECT conv_id, s AS nd FROM {edge_cte}
   UNION ALL SELECT conv_id, d FROM {edge_cte})),
-prn AS MATERIALIZED (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n
-  FROM prnode GROUP BY conv_id),
-prdeg AS MATERIALIZED (SELECT conv_id, s, CAST(COUNT(*) AS DOUBLE) AS deg
-  FROM {edge_cte} GROUP BY conv_id, s),
-pr AS (
+{r}prn AS MATERIALIZED (SELECT conv_id, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM {r}prnode GROUP BY conv_id),
+{r}prdeg AS MATERIALIZED (SELECT conv_id, s, CAST(COUNT(*) AS DOUBLE) AS deg
+  FROM {edge_cte} GROUP BY conv_id, s){pers_block},
+{r}pr AS (
   SELECT n.conv_id, n.nd, {D1} / ns.n AS rank, 0 AS it, FALSE AS done
-  FROM prnode n JOIN prn ns ON n.conv_id = ns.conv_id
+  FROM {r}prnode n JOIN {r}prn ns ON n.conv_id = ns.conv_id
   UNION ALL
   SELECT conv_id, nd, next_rank, it + 1,
          SUM(ABS(next_rank - rank)) OVER (PARTITION BY conv_id)
            < n * CAST({tol} AS DOUBLE)
   FROM (
     SELECT cur.conv_id, cur.nd, cur.rank, cur.it, ns.n,
-           {ALPHA} * (COALESCE(c.contrib, {D0}) + dmt.dm * {p})
-             + ({D1} - {ALPHA}) * {p} AS next_rank
-    FROM pr cur
-    JOIN prn ns ON ns.conv_id = cur.conv_id
+           {ALPHA} * (COALESCE(c.contrib, {D0}) + dmt.dm * pv.pv)
+             + ({D1} - {ALPHA}) * pv.pv AS next_rank
+    FROM {r}pr cur
+    JOIN {r}prn ns ON ns.conv_id = cur.conv_id
+    JOIN {r}pvec pv ON pv.conv_id = cur.conv_id AND pv.nd = cur.nd
     LEFT JOIN (
       SELECT x.conv_id, e.d AS cnode, SUM(x.rank / o.deg) AS contrib
-      FROM pr x
+      FROM {r}pr x
       JOIN {edge_cte} e ON x.conv_id = e.conv_id AND x.nd = e.s
-      JOIN prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
+      JOIN {r}prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
       WHERE NOT x.done
       GROUP BY x.conv_id, e.d
     ) c ON c.conv_id = cur.conv_id AND c.cnode = cur.nd
     JOIN (
       SELECT x.conv_id,
              COALESCE(SUM(CASE WHEN o.s IS NULL THEN x.rank END), {D0}) AS dm
-      FROM pr x
-      LEFT JOIN prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
+      FROM {r}pr x
+      LEFT JOIN {r}prdeg o ON o.conv_id = x.conv_id AND o.s = x.nd
       WHERE NOT x.done
       GROUP BY x.conv_id
     ) dmt ON dmt.conv_id = cur.conv_id
     WHERE NOT cur.done AND cur.it < {max_iter}
   )
 ),
-ranks AS MATERIALIZED (
+{r}ranks AS MATERIALIZED (
   SELECT conv_id, substr(nd, 1, 1) AS kind, substr(nd, 2) AS key, rank
-  FROM pr WHERE done
+  FROM {r}pr WHERE done
 )"""
 
 
@@ -715,3 +769,117 @@ SELECT conv_id, src_word, dst_word, ROUND(rank, 8) AS rank FROM (
     AND substr(string_split(key, '>')[2], 1, 1) = 'W'
 ) WHERE rn <= {k}
 """
+
+
+def dr_query_answers_sql(doc_mod: int = 25, max_answers: int = 3, sent_count: int = 5) -> str:
+    """Entry-point-C oracle (operators/query.py:answer_queries): the parse
+    pipeline instantiated TWICE in one statement — documents (prefix '')
+    and query texts (prefix 'q_', first 8 tokens of each document, the
+    contract query's fixture) — then query-graph PageRank -> filtered
+    personalization vector -> personalized rerank of the document graph
+    (recursive PR with the pers vector, `_pr_ctes(pers_cte=...)`) ->
+    length adjustment -> shared-token good-sentence filter -> top
+    max_answers clean sentences minus the document summary (with the
+    all-in-summary fallback)."""
+    doc_filter = f"WHERE doc_id % {doc_mod} = 0"
+    qturn = (
+        f"SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id, 0 AS sent_id, "
+        f"array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS text "
+        f"FROM documents {doc_filter}"
+    )
+    doc_part = _strip_tail(_pipeline_ctes(doc_filter))
+    q_part = _strip_tail(
+        _pipeline_ctes(q="q_", turn_sql=qturn)
+    ).replace("\nWITH RECURSIVE", "", 1)
+    return (
+        doc_part
+        + ","
+        + q_part
+        + ",\nq_edg AS MATERIALIZED (SELECT conv_id, src_kind || src AS s, "
+        "dst_kind || dst AS d FROM q_gedge),"
+        + _pr_ctes("q_edg", r="qr_")
+        + f""",
+pers AS MATERIALIZED (
+  SELECT conv_id, 'W' || key AS nd, rank AS weight
+  FROM qr_ranks
+  WHERE kind = 'W' AND {_maybe_word_sql('key')} AND NOT {_is_stop_sql('key')}),
+-- rerank runs only for conversations that produced a personalization
+-- vector (rerank_for_queries joins gedges against pers conv ids)
+rr_edg AS MATERIALIZED (
+  SELECT e.conv_id, e.src_kind || e.src AS s, e.dst_kind || e.dst AS d
+  FROM gedge e
+  JOIN (SELECT DISTINCT conv_id FROM pers) pc ON pc.conv_id = e.conv_id),"""
+        + _pr_ctes("rr_edg", r="rr_", pers_cte="pers")
+        + f""",
+slen AS MATERIALIZED (
+  SELECT conv_id, sent_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_SQL_RE}')) AS DOUBLE) AS sent_len
+  FROM turn),
+avgl AS MATERIALIZED (
+  SELECT conv_id, AVG(sent_len) AS avg_len FROM slen GROUP BY conv_id),
+rr_radj AS MATERIALIZED (
+  SELECT r.conv_id, r.kind, r.key,
+         CASE WHEN r.kind = 'S' AND sl.sent_len IS NOT NULL
+              THEN r.rank / ({D1} + ln({D1} + abs(sl.sent_len - a.avg_len)))
+              ELSE r.rank END AS rank
+  FROM rr_ranks r
+  LEFT JOIN slen sl ON sl.conv_id = r.conv_id AND r.kind = 'S'
+                   AND CAST(sl.sent_id AS VARCHAR) = r.key
+  LEFT JOIN avgl a ON a.conv_id = r.conv_id),
+q_tokens AS MATERIALIZED (
+  SELECT conv_id, token FROM (
+    SELECT DISTINCT conv_id, token FROM (
+      SELECT conv_id, src AS token FROM q_medge WHERE src_kind = 'W'
+      UNION ALL
+      SELECT conv_id, dst AS token FROM q_medge WHERE dst_kind = 'W'))
+  WHERE {_maybe_word_sql('token')} AND NOT {_is_stop_sql('token')}),
+tok_sents AS MATERIALIZED (
+  SELECT DISTINCT conv_id, token, sent_id FROM (
+    SELECT conv_id, src AS token, sent_id FROM medge WHERE src_kind = 'W'
+    UNION ALL
+    SELECT conv_id, dst AS token, sent_id FROM medge WHERE dst_kind = 'W')),
+good AS MATERIALIZED (
+  SELECT DISTINCT q.conv_id, t.sent_id
+  FROM q_tokens q JOIN tok_sents t
+    ON t.conv_id = q.conv_id AND t.token = q.token),
+clean_sent AS MATERIALIZED (
+  SELECT conv_id, sent_id FROM tk
+  GROUP BY conv_id, sent_id
+  HAVING COUNT(*) >= 3
+     AND BOOL_AND(length(lemma) > 0
+                  AND ({_maybe_word_sql('lemma')} OR {_in_dict_sql('lemma')}))),
+stext AS MATERIALIZED (
+  SELECT conv_id, sent_id, string_agg(word, ' ' ORDER BY pos) AS sent_text
+  FROM tok GROUP BY conv_id, sent_id),
+sents AS MATERIALIZED (
+  SELECT r.conv_id, cs.sent_id, st.sent_text, r.rank, r.key
+  FROM rr_radj r
+  JOIN clean_sent cs ON cs.conv_id = r.conv_id
+                    AND CAST(cs.sent_id AS VARCHAR) = r.key
+  JOIN stext st ON st.conv_id = r.conv_id AND st.sent_id = cs.sent_id
+  WHERE r.kind = 'S'),
+answers AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT s.conv_id, s.sent_id, s.sent_text,
+           ROW_NUMBER() OVER (PARTITION BY s.conv_id
+             ORDER BY ROUND(s.rank, 8) DESC, lpad(s.key, 20, '0')) AS rn
+    FROM sents s
+    JOIN good g ON g.conv_id = s.conv_id AND g.sent_id = s.sent_id
+  ) WHERE rn <= {max_answers}),
+summ AS MATERIALIZED (
+  SELECT conv_id, sent_id FROM (
+    SELECT conv_id, sent_id,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+             ORDER BY ROUND(rank, 8) DESC, lpad(key, 20, '0')) AS rn
+    FROM sents
+  ) WHERE rn <= {sent_count})
+SELECT conv_id, CAST(0 AS INT) AS q_idx, turn_idx, sent_text FROM (
+  SELECT a.conv_id, a.sent_id AS turn_idx, a.sent_text,
+         (sm.sent_id IS NOT NULL) AS in_summary,
+         SUM(CASE WHEN sm.sent_id IS NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY a.conv_id) AS n_outside
+  FROM answers a
+  LEFT JOIN summ sm ON sm.conv_id = a.conv_id AND sm.sent_id = a.sent_id
+) WHERE n_outside = 0 OR NOT in_summary
+"""
+    )
