@@ -4,18 +4,19 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). 37 of 40 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). ALL 41 queries carry DuckDB
 value-hash oracles — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
 SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
-and, new in round 2, the float-ranked flagship outputs dr_keywords /
-dr_summary / dr_relations / dr_line_graph via a RECURSIVE per-conversation
-PageRank oracle that mirrors the numpy kernel's exact convergence schedule
-(each conversation stops at its own L1 n*tol iteration; ranks agree to
-~1e-15 and selections are pinned by 8-decimal-rounded ordering on both
-sides). The 3 rows-only entries are the query/answer-engine outputs
-(dr_query_answers, dr_vote_answers, dr_svo_extended), pytest-verified
-against pure-python oracles (tests/).
+and, new in round 2, every float-ranked output via a RECURSIVE
+per-conversation PageRank oracle that mirrors the numpy kernel's exact
+convergence schedule (each conversation stops at its own L1 n*tol
+iteration; ranks agree to ~1e-15; selections pinned by 8-decimal-rounded
+ordering on both sides): dr_keywords / dr_summary / dr_relations /
+dr_line_graph (extraction), dr_svo_extended (taxonomy join), and — via
+the personalized-rerank variant of the same recursive kernel —
+dr_query_answers (entry point C) and dr_vote_answers (the four-matcher
+vote engine, with taxonomy + wup-similarity dimensions inlined as VALUES).
 """
 
 from __future__ import annotations
@@ -653,6 +654,60 @@ def q_dr_svo_extended(spark, sf_dir):
     return ext.select("conv_id", "subj", "verb", "obj", "sent_id")
 
 
+def q_word_variants(spark, sf_dir):
+    """F9 word-variant generation (reference qpro.pro:287-317): lexical
+    variants + single-deletion/adjacent-transposition misspellings as one
+    Catalyst array expression (functions/variants.py). Applied to the
+    distinct token vocabulary of every 100th document."""
+    from deeprank_spark.functions.variants import word_variants
+
+    toks = (
+        _load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 100 == 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .distinct()
+    )
+    return word_variants(toks).select("word", "variant")
+
+
+def _word_variants_sql() -> str:
+    """DuckDB mirror of functions/variants.py (same stem rule chain)."""
+    stem = (
+        "CASE WHEN low LIKE '%sses' THEN substr(low, 1, length(low) - 2) "
+        "WHEN low LIKE '%ies' THEN substr(low, 1, length(low) - 2) "
+        "WHEN low LIKE '%ing' AND length(low) > 5 THEN substr(low, 1, length(low) - 3) "
+        "WHEN low LIKE '%ed' AND length(low) > 4 THEN substr(low, 1, length(low) - 2) "
+        "WHEN low LIKE '%s' AND low NOT LIKE '%ss' AND length(low) > 3 "
+        "THEN substr(low, 1, length(low) - 1) ELSE low END"
+    )
+
+    def dels(v):
+        return (
+            f"list_transform(range(1, length({v}) + 1), i -> "
+            f"substr({v}, 1, CAST(i AS INT) - 1) || substr({v}, CAST(i AS INT) + 1))"
+        )
+
+    def transp(v):
+        return (
+            f"list_transform(range(1, length({v})), i -> "
+            f"substr({v}, 1, CAST(i AS INT) - 1) || substr({v}, CAST(i AS INT) + 1, 1) "
+            f"|| substr({v}, CAST(i AS INT), 1) || substr({v}, CAST(i AS INT) + 2))"
+        )
+
+    return (
+        "WITH toks AS (SELECT DISTINCT UNNEST(list_filter(string_split(text, ' '), "
+        "x -> length(x) > 0)) AS word FROM documents WHERE doc_id % 100 = 0), "
+        f"base AS (SELECT word, lower(word) AS low FROM toks), "
+        f"vs AS (SELECT word, list_sort(list_distinct(list_concat("
+        f"[word, low, upper(substr(word, 1, 1)) || substr(word, 2), {stem}], "
+        f"CASE WHEN length(word) >= 5 THEN list_concat(list_concat({dels('word')}, "
+        f"{transp('word')}), list_concat({dels('low')}, {transp('low')})) "
+        f"ELSE [] END))) AS variants FROM base) "
+        "SELECT word, UNNEST(variants) AS variant FROM vs"
+    )
+
+
 def q_token_count(spark, sf_dir):
     from deeprank_spark.operators.textstats import token_counts
 
@@ -969,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "emb_cosine_pairs": q_emb_cosine_pairs,
+        "word_variants": q_word_variants,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
@@ -990,17 +1046,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "ev_windowed": q_ev_windowed,
         "ev_sessionize": q_ev_sessionize,
-        # text-graph pipeline (DuckDB-oracled via oracle/sqlgen.py except
-        # the three rows-only query/answer-engine outputs)
+        # text-graph pipeline (all DuckDB-oracled via oracle/sqlgen.py)
         "dr_keywords": q_dr_keywords,
         "dr_summary": q_dr_summary,
         "dr_relations": q_dr_relations,
         "dr_components": q_dr_components,
-        "dr_query_answers": q_dr_query_answers,  # rows-only (entry point C)
-        "dr_vote_answers": q_dr_vote_answers,  # rows-only (4-matcher vote path)
+        "dr_query_answers": q_dr_query_answers,
+        "dr_vote_answers": q_dr_vote_answers,
         "dr_line_graph": q_dr_line_graph,
         "dr_line_graph_adj": q_dr_line_graph_adj,
-        "dr_svo_extended": q_dr_svo_extended,  # rows-only (J4 taxonomy join)
+        "dr_svo_extended": q_dr_svo_extended,
     }
 
 
@@ -1024,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_plan": _MM_FRAME_SQL,
         "mm_features": _MM_FEATURES_SQL,
         "cube_agg": _CUBE_SQL,
+        "word_variants": _word_variants_sql(),
         "token_count": _TOKEN_SQL,
         "fingerprint": _FP_SQL,
         "lang_id": _lang_sql(),
@@ -1076,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "dr_line_graph": _dr_rank_oracle("dr_line_graph_sql"),
         "dr_svo_extended": _dr_rank_oracle("dr_svo_extended_sql"),
         "dr_query_answers": _dr_rank_oracle("dr_query_answers_sql"),
+        "dr_vote_answers": _dr_rank_oracle("dr_vote_answers_sql"),
     }
 
 

@@ -359,8 +359,10 @@ def answer_votes(
             ).alias("score"),
         )
     )
+    # score ties compare at the published 8-decimal precision (see
+    # extract._topk) so engine and differential oracles order identically
     w = Window.partitionBy("conv_id", "q_idx").orderBy(
-        F.desc("votes"), F.desc("score"), "sent_id"
+        F.desc("votes"), F.desc(F.round("score", 8)), "sent_id"
     )
     return scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= t.max_answers

@@ -647,29 +647,37 @@ SELECT conv_id, turn_idx, sent_text FROM (
 """
 
 
-def _scored_svo_ctes(k: int = 10) -> str:
-    """bestSVOs (edges.svo_table + extract.scored_svos): verb->noun
-    subj/obj deps with isWord endpoints joined on the shared verb, scored
-    (2*rank(subj) + rank(obj))/3 over word ranks, distinct, ranked -> the
-    `topsvo` CTE (rows with rn <= k are the published relations)."""
+def _svo_ctes(q: str = "") -> str:
+    """SVO assembly (edges.svo_table): verb->noun subj/obj deps with
+    isWord endpoints joined on the shared verb -> `{q}svo`(conv_id,
+    sent_id, subj, verb, obj). q prefixes the CTE names so the document
+    and query sides can coexist in one statement."""
     vn = "substr(lftag, 1, 1) = 'V' AND substr(lttag, 1, 1) = 'N'"
     word_ok = (
         f"lfrom <> lto AND {_is_word_sql('lfrom')} AND {_is_word_sql('lto')}"
     )
     return f"""
-svs AS MATERIALIZED (
+{q}svs AS MATERIALIZED (
   SELECT DISTINCT conv_id, sent_id, lfrom AS verb, lftag AS vtag, lto AS subj
-  FROM resolved
+  FROM {q}resolved
   WHERE rel LIKE '%subj%' AND {vn} AND {word_ok}),
-svo_o AS MATERIALIZED (
+{q}svo_o AS MATERIALIZED (
   SELECT DISTINCT conv_id, sent_id, lfrom AS verb, lftag AS vtag, lto AS obj
-  FROM resolved
+  FROM {q}resolved
   WHERE rel NOT LIKE '%subj%' AND rel LIKE '%obj%' AND {vn} AND {word_ok}),
-svo AS MATERIALIZED (
+{q}svo AS MATERIALIZED (
   SELECT s.conv_id, s.sent_id, s.subj, s.verb, o.obj
-  FROM svs s
-  JOIN svo_o o ON s.conv_id = o.conv_id AND s.sent_id = o.sent_id
-              AND s.verb = o.verb AND s.vtag = o.vtag),
+  FROM {q}svs s
+  JOIN {q}svo_o o ON s.conv_id = o.conv_id AND s.sent_id = o.sent_id
+              AND s.verb = o.verb AND s.vtag = o.vtag)"""
+
+
+def _scored_svo_ctes(k: int = 10) -> str:
+    """bestSVOs (edges.svo_table + extract.scored_svos): the `svo` CTE
+    scored (2*rank(subj) + rank(obj))/3 over word ranks, distinct,
+    ranked -> the `topsvo` CTE (rows with rn <= k are the published
+    relations)."""
+    return _svo_ctes() + """,
 scored AS MATERIALIZED (
   SELECT DISTINCT v.conv_id, v.subj, v.verb, v.obj, v.sent_id,
          (CAST(2.0 AS DOUBLE) * rs.rank + ro.rank) / CAST(3.0 AS DOUBLE) AS score
@@ -881,5 +889,194 @@ SELECT conv_id, CAST(0 AS INT) AS q_idx, turn_idx, sent_text FROM (
   FROM answers a
   LEFT JOIN summ sm ON sm.conv_id = a.conv_id AND sm.sent_id = a.sent_id
 ) WHERE n_outside = 0 OR NOT in_summary
+"""
+    )
+
+
+def dr_vote_answers_sql(doc_mod: int = 50, max_answers: int = 3) -> str:
+    """Four-matcher answer-engine oracle (operators/answers.py:
+    four_matcher_answers): document + query parse pipelines, query-graph
+    PageRank -> personalization -> personalized rerank (raw, no length
+    adjustment — answers score with the raw rerank), taxonomy + wup-sim
+    query-term expansion (both dimension tables inlined as VALUES from the
+    same Python constants), the four matchers (ner / relevant / edges /
+    4-way svo), distinct per-matcher votes, and the apply_rank scoring
+    exp(r0*votes) * log1p(1/len-penalty) with 8-decimal-pinned ordering."""
+    from ..functions.taxonomy import taxonomy_rows
+    from ..functions.wordsim import sim_pairs
+
+    doc_filter = f"WHERE doc_id % {doc_mod} = 0"
+    qturn = (
+        f"SELECT 'd' || CAST(doc_id AS VARCHAR) AS conv_id, 0 AS sent_id, "
+        f"'who ' || array_to_string(list_slice(string_split(text, ' '), 3, 8), ' ') AS text "
+        f"FROM documents {doc_filter}"
+    )
+    wn_vals = ", ".join(f"('{a}', '{r}', '{b}')" for a, r, b in taxonomy_rows())
+    sim_vals = ", ".join(f"('{a}', '{b}')" for a, b, _ in sim_pairs())
+    wh_vals = "('who', 'NAME'), ('many', 'NUMBER'), ('when', 'NUMBER'), ('where', 'NAME')"
+    good_tag = "substr(tag, 1, 1) IN ('N', 'V', 'J')"
+    doc_part = _strip_tail(_pipeline_ctes(doc_filter))
+    q_part = _strip_tail(
+        _pipeline_ctes(q="q_", turn_sql=qturn)
+    ).replace("\nWITH RECURSIVE", "", 1)
+    return (
+        doc_part
+        + ","
+        + q_part
+        + ","
+        + _svo_ctes()          # doc svo
+        + ","
+        + _svo_ctes("q_")      # query svo (J11 input)
+        + ",\nq_edg AS MATERIALIZED (SELECT conv_id, src_kind || src AS s, "
+        "dst_kind || dst AS d FROM q_gedge),"
+        + _pr_ctes("q_edg", r="qr_")
+        + f""",
+pers AS MATERIALIZED (
+  SELECT conv_id, 'W' || key AS nd, rank AS weight
+  FROM qr_ranks
+  WHERE kind = 'W' AND {_maybe_word_sql('key')} AND NOT {_is_stop_sql('key')}),
+rr_edg AS MATERIALIZED (
+  SELECT e.conv_id, e.src_kind || e.src AS s, e.dst_kind || e.dst AS d
+  FROM gedge e
+  JOIN (SELECT DISTINCT conv_id FROM pers) pc ON pc.conv_id = e.conv_id),"""
+        + _pr_ctes("rr_edg", r="rr_", pers_cte="pers")
+        + f""",
+wn_rel AS MATERIALIZED (
+  SELECT * FROM (VALUES {wn_vals}) t(lemma, rel_type, related)),
+sim_tbl AS MATERIALIZED (
+  SELECT * FROM (VALUES {sim_vals}) t(lemma_a, lemma_b)),
+wh_map AS MATERIALIZED (
+  SELECT * FROM (VALUES {wh_vals}) t(wh, ner_class)),
+-- expanded query terms: query word ranks + taxonomy neighbors at the same
+-- rank + wup-similar doc lemmas at R_query * rank_doc; max per term
+q_words AS MATERIALIZED (
+  SELECT conv_id, substr(nd, 2) AS term, weight AS r FROM pers),
+q_exp AS MATERIALIZED (
+  SELECT q.conv_id, t.related AS term, q.r
+  FROM q_words q JOIN wn_rel t ON q.term = t.lemma),
+rr_w AS MATERIALIZED (
+  SELECT conv_id, key AS doc_term, rank AS rr FROM rr_ranks WHERE kind = 'W'),
+q_sim AS MATERIALIZED (
+  SELECT q.conv_id, w.doc_term AS term, q.r * w.rr AS r
+  FROM q_words q
+  JOIN sim_tbl s ON q.term = s.lemma_a
+  JOIN rr_w w ON w.conv_id = q.conv_id AND w.doc_term = s.lemma_b),
+q_terms AS MATERIALIZED (
+  SELECT conv_id, term, MAX(r) AS r FROM (
+    SELECT * FROM q_words UNION ALL SELECT * FROM q_exp
+    UNION ALL SELECT * FROM q_sim)
+  GROUP BY conv_id, term),
+-- shared matcher inputs
+sent_tokens AS MATERIALIZED (
+  SELECT DISTINCT conv_id, sent_id, tok FROM (
+    SELECT conv_id, sent_id, word AS tok FROM tk
+    UNION ALL SELECT conv_id, sent_id, lemma FROM tk)),
+q_toks AS MATERIALIZED (
+  SELECT conv_id, word, lemma, tag FROM q_tk),
+q_keys AS MATERIALIZED (
+  SELECT DISTINCT conv_id, lemma AS key FROM q_toks
+  WHERE {_maybe_word_sql('lemma')} AND NOT {_is_stop_sql('lemma')}
+    AND {good_tag}),
+-- matcher 1: ner (J12) — deterministic rule NER over doc tokens
+ner AS MATERIALIZED (
+  SELECT DISTINCT conv_id, sent_id, word, ner_tag FROM (
+    SELECT conv_id, sent_id, word,
+      CASE WHEN pos > 1 AND regexp_full_match(word, '[A-Z][A-Za-z0-9]*')
+           THEN 'NAME'
+           WHEN regexp_full_match(word, '[0-9]+') THEN 'NUMBER' END AS ner_tag
+    FROM tk)
+  WHERE ner_tag IS NOT NULL),
+wh_in_q AS MATERIALIZED (
+  SELECT DISTINCT q.conv_id, m.ner_class
+  FROM q_toks q JOIN wh_map m ON lower(q.lemma) = m.wh),
+ner_sents AS MATERIALIZED (
+  SELECT n.conv_id, n.sent_id
+  FROM ner n JOIN wh_in_q w ON w.conv_id = n.conv_id AND w.ner_class = n.ner_tag),
+good_q AS MATERIALIZED (
+  SELECT conv_id, word AS tok FROM q_toks WHERE {good_tag}),
+shared_sents AS MATERIALIZED (
+  SELECT DISTINCT g.conv_id, s.sent_id
+  FROM good_q g JOIN sent_tokens s ON s.conv_id = g.conv_id AND s.tok = g.tok),
+m_ner AS MATERIALIZED (
+  SELECT DISTINCT n.conv_id, n.sent_id
+  FROM ner_sents n
+  JOIN shared_sents sh ON sh.conv_id = n.conv_id AND sh.sent_id = n.sent_id),
+-- matcher 2: relevant (A6) — >= 2 shared top-60 terms
+top_terms AS MATERIALIZED (
+  SELECT conv_id, term, r FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+      ORDER BY r DESC, term) AS rn FROM q_terms)
+  WHERE rn <= 60),
+m_rel AS MATERIALIZED (
+  SELECT conv_id, sent_id FROM (
+    SELECT t.conv_id, s.sent_id, COUNT(DISTINCT t.term) AS l
+    FROM top_terms t
+    JOIN sent_tokens s ON s.conv_id = t.conv_id AND s.tok = t.term
+    GROUP BY t.conv_id, s.sent_id)
+  WHERE l >= 2),
+-- matcher 3: edges (J10) — equi on dst, src lifted for wh-words
+q_edges AS MATERIALIZED (
+  SELECT conv_id, src, dst FROM q_medge
+  WHERE src_kind = 'W' AND dst_kind = 'W'),
+doc_wedges AS MATERIALIZED (
+  SELECT conv_id, src, dst, sent_id FROM medge
+  WHERE src_kind = 'W' AND dst_kind = 'W'),
+m_edge AS MATERIALIZED (
+  SELECT DISTINCT q.conv_id, d.sent_id
+  FROM q_edges q
+  JOIN doc_wedges d ON d.conv_id = q.conv_id AND d.dst = q.dst
+  WHERE lower(q.src) IN ('who', 'many', 'when', 'where') OR q.src = d.src),
+-- matcher 4: svo (J11, 4-way wildcard + focus-word clause)
+m_svo AS MATERIALIZED (
+  SELECT DISTINCT conv_id, sent_id FROM (
+    SELECT q.conv_id, d.sent_id FROM q_svo q JOIN svo d
+      ON d.conv_id = q.conv_id AND d.subj = q.subj AND d.obj = q.obj
+    UNION ALL
+    SELECT q.conv_id, d.sent_id FROM q_svo q JOIN svo d
+      ON d.conv_id = q.conv_id AND d.subj = q.subj AND d.verb = q.verb
+    UNION ALL
+    SELECT q.conv_id, d.sent_id FROM q_svo q JOIN svo d
+      ON d.conv_id = q.conv_id AND d.verb = q.verb AND d.obj = q.obj
+    UNION ALL
+    SELECT k.conv_id, d.sent_id FROM q_keys k JOIN svo d
+      ON d.conv_id = k.conv_id AND d.subj = k.key
+    UNION ALL
+    SELECT k.conv_id, d.sent_id FROM q_keys k JOIN svo d
+      ON d.conv_id = k.conv_id AND d.obj = k.key)),
+-- votes: one per (sentence, matcher)
+votes AS MATERIALIZED (
+  SELECT conv_id, sent_id, COUNT(*) AS votes FROM (
+    SELECT DISTINCT conv_id, sent_id, algo FROM (
+      SELECT conv_id, sent_id, 'ner' AS algo FROM m_ner
+      UNION ALL SELECT conv_id, sent_id, 'relevant' FROM m_rel
+      UNION ALL SELECT conv_id, sent_id, 'edges' FROM m_edge
+      UNION ALL SELECT conv_id, sent_id, 'svo' FROM m_svo))
+  GROUP BY conv_id, sent_id),
+-- apply_rank scoring over the raw personalized rerank
+sent_info AS MATERIALIZED (
+  SELECT t.conv_id, t.sent_id,
+         CAST(len(regexp_extract_all(t.text, '{TOKEN_SQL_RE}')) AS INT) AS slen,
+         EXISTS (SELECT 1 FROM tok o WHERE o.conv_id = t.conv_id
+                 AND o.sent_id = t.sent_id AND o.word = '?') AS has_q
+  FROM turn t),
+r_sent AS MATERIALIZED (
+  SELECT conv_id, CAST(key AS INT) AS sent_id, rank AS r0
+  FROM rr_ranks WHERE kind = 'S')
+SELECT conv_id, q_idx, sent_id, votes, ROUND(score, 8) AS score FROM (
+  SELECT v.conv_id, CAST(0 AS INT) AS q_idx, v.sent_id, v.votes,
+         exp(COALESCE(r.r0, {D0}) * v.votes)
+           * ln({D1} + {D1} / (CASE WHEN si.slen < 4 OR si.has_q
+                 THEN CAST(1000.0 AS DOUBLE)
+                 ELSE CAST(si.slen AS DOUBLE) END)) AS score,
+         ROW_NUMBER() OVER (PARTITION BY v.conv_id
+           ORDER BY v.votes DESC, ROUND(exp(COALESCE(r.r0, {D0}) * v.votes)
+             * ln({D1} + {D1} / (CASE WHEN si.slen < 4 OR si.has_q
+                   THEN CAST(1000.0 AS DOUBLE)
+                   ELSE CAST(si.slen AS DOUBLE) END)), 8) DESC,
+             v.sent_id) AS rn
+  FROM votes v
+  LEFT JOIN r_sent r ON r.conv_id = v.conv_id AND r.sent_id = v.sent_id
+  LEFT JOIN sent_info si ON si.conv_id = v.conv_id AND si.sent_id = v.sent_id
+) WHERE rn <= {max_answers}
 """
     )
