@@ -515,6 +515,99 @@ def _ann_lsh_sql(
     )
 
 
+_IVF_CELLS, _IVF_ITERS, _IVF_NPROBE = 16, 3, 4
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (inverted-file cells + nprobe, exact rescore): the
+    partition-by-cell alternative to sign-LSH. Fully DuckDB-oracled:
+    Lloyd init is the k smallest-id vectors and the iteration count is
+    fixed, so the oracle unrolls the identical schedule in SQL."""
+    from deeprank_spark.operators.similarity import ann_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_topk_ivf(
+        emb, queries, k=5,
+        k_cells=_IVF_CELLS, iters=_IVF_ITERS, nprobe=_IVF_NPROBE,
+    )
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rn")
+
+
+def _ann_ivf_sql(
+    k_cells: int = _IVF_CELLS,
+    iters: int = _IVF_ITERS,
+    nprobe: int = _IVF_NPROBE,
+    k: int = 5,
+) -> str:
+    """Unrolled deterministic-Lloyd IVF mirror (same init, same fixed
+    schedule, same argmin/mean arithmetic as operators/similarity.py)."""
+
+    def d2(a, b):
+        return (
+            f"list_sum(list_transform(range(0, len({a})), i -> "
+            f"({a}[CAST(i AS INT) + 1] - {b}[CAST(i AS INT) + 1]) * "
+            f"({a}[CAST(i AS INT) + 1] - {b}[CAST(i AS INT) + 1])))"
+        )
+
+    def assign(name, cent):
+        return (
+            f"{name} AS MATERIALIZED (SELECT vec_id, v, cell FROM ("
+            f"SELECT e.vec_id, e.v, c.cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {d2('e.v', 'c.cv')}, c.cell) AS rn "
+            f"FROM e, {cent} c) WHERE rn = 1)"
+        )
+
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"st AS MATERIALIZED (SELECT GREATEST(1, (SELECT COUNT(*) FROM e) // {k_cells}) AS s)",
+        f"c0 AS MATERIALIZED (SELECT CAST(rk // (SELECT s FROM st) AS INT) AS cell, v AS cv "
+        f"FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk, v FROM e) "
+        f"WHERE rk % (SELECT s FROM st) = 0 AND rk < (SELECT s FROM st) * {k_cells})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"a{i}", prev))
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS cv FROM ("
+            f"SELECT cell, pos, AVG(x) AS m FROM ("
+            f"SELECT cell, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos "
+            f"FROM a{i}) GROUP BY cell, pos) GROUP BY cell)"
+        )
+        prev = f"c{i}"
+    ctes.append(assign("af", prev))
+    ctes.append(
+        "qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e "
+        "WHERE vec_id % 100 = 1)"
+    )
+    ctes.append(
+        f"qp AS MATERIALIZED (SELECT query_id, cell FROM ("
+        f"SELECT q.query_id, c.cell, ROW_NUMBER() OVER ("
+        f"PARTITION BY q.query_id ORDER BY {d2('q.qv', 'c.cv')}, c.cell) AS rn "
+        f"FROM qs q, {prev} c) WHERE rn <= {nprobe})"
+    )
+    ctes.append(
+        "cand AS MATERIALIZED (SELECT qp.query_id, a.vec_id "
+        "FROM qp JOIN af a USING (cell) WHERE qp.query_id <> a.vec_id)"
+    )
+    ctes.append(
+        "scored AS MATERIALIZED (SELECT c.query_id, c.vec_id, "
+        "list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(e.v, e.v))) AS cosine "
+        "FROM cand c JOIN qs q ON c.query_id = q.query_id "
+        "JOIN e ON c.vec_id = e.vec_id)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rn FROM ("
+        "SELECT query_id, vec_id, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM scored) "
+        f"WHERE rn <= {k}"
+    )
+
+
 def q_cube_agg(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -1031,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         # multimodal plumbing
         "mm_frame_plan": q_mm_frame_plan,
         "mm_features": q_mm_features,
@@ -1086,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": _quality_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "topk_orders": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"

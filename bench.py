@@ -108,6 +108,9 @@ def run_bench() -> dict:
     n_exact = exact.count()
     n_hit = exact.join(approx, ["query_id", "vec_id"], "leftsemi").count()
     extras["ann_lsh_recall_at_5"] = round(n_hit / n_exact, 4) if n_exact else None
+    ivf = qs["ann_ivf_topk"](spark, SF_DIR).select("query_id", "vec_id")
+    n_ivf = exact.join(ivf, ["query_id", "vec_id"], "leftsemi").count()
+    extras["ann_ivf_recall_at_5"] = round(n_ivf / n_exact, 4) if n_exact else None
 
     total = round(sum(times.values()), 3)
     out = {
@@ -121,6 +124,7 @@ def run_bench() -> dict:
         "pagerank_supersteps": extras["pagerank_supersteps"],
         "pagerank_edges": extras["pagerank_edges"],
         "ann_lsh_recall_at_5": extras["ann_lsh_recall_at_5"],
+        "ann_ivf_recall_at_5": extras["ann_ivf_recall_at_5"],
         "rows": extras["rows"],
     }
     spark.stop()

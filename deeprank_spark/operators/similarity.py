@@ -296,3 +296,160 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic Lloyd cells + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def _dist2(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    k_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means -> (cell, cv array<double>).
+
+    Init is k_cells vectors STRIDE-SPACED in id order (ranks 1, 1+s,
+    1+2s, ... with s = floor(n/k)) — deterministic (no RNG, so the DuckDB
+    oracle reproduces the identical schedule) and spread across the
+    corpus, unlike a first-k init which lands every seed in whatever
+    cluster owns the smallest ids; each of the FIXED `iters` rounds is
+    a broadcast argmin-assignment join + a per-dimension mean (posexplode →
+    map-side-combined avg → re-assembled array). Ties in the argmin break
+    on the cell index. Cells that lose all members drop out (both engines
+    agree: a mean over zero rows is no row). The driver loop is over
+    k_cells-sized DataFrames only — corpus passes are one broadcast join
+    per round, embarrassingly parallel at 100 TB."""
+    # The global row_number here is the init step only (k rows kept); at
+    # cluster scale swap it for a deterministic id-stride or sample —
+    # the iteration loop below never needs a global sort.
+    n = corpus.count()
+    stride = max(1, n // k_cells)
+    w0 = Window.orderBy(id_col)
+    cent = (
+        corpus.select(id_col, vec_col)
+        .withColumn("rk", F.row_number().over(w0) - 1)
+        .where(F.col("rk") % stride == 0)
+        .where(F.col("rk") < stride * k_cells)
+        .select(
+            (F.col("rk") / stride).cast("int").alias("cell"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    for _ in range(iters):
+        wa = Window.partitionBy("vid").orderBy("d2", "cell")
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select(
+                "vid", "v", "cell", _dist2(F.col("v"), F.col("cv")).alias("d2")
+            )
+            .withColumn("rn", F.row_number().over(wa))
+            .where(F.col("rn") == 1)
+        )
+        dims = assigned.select(
+            "cell", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x")
+        )
+        means = dims.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (vec_id, cell): nearest-centroid cell per vector."""
+    wa = Window.partitionBy(id_col).orderBy("d2", "cell")
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "cell",
+            _dist2(F.col(vec_col), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_cells: int = 16,
+    iters: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest cells per query, exact cosine
+    rescore within them — the inverted-file alternative to the sign-LSH
+    path (same output shape as ann_topk_lsh). The cell assignment is the
+    100 TB partitioning lever: vectors co-partition by cell, a query
+    touches nprobe/k_cells of the corpus."""
+    cent = ivf_centroids(corpus, k_cells=k_cells, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        queries.select("query_id", vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "cell", _dist2(F.col(vec_col), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = probes.join(assign, "cell").select("query_id", id_col).where(
+        F.col("query_id") != F.col(id_col)
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv2"))
+    q = queries.select("query_id", F.col(vec_col).alias("qv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                _dot(F.col("qv"), F.col("cv2"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv2")))
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= k)
