@@ -4,7 +4,7 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). ALL 41 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). ALL 43 queries carry DuckDB
 value-hash oracles — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
 SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
@@ -395,6 +395,30 @@ _MINHASH_LSH_SQL = (
     "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
     "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
     "AND a.doc_id < b.doc_id"
+)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: LSH candidate pairs -> connected components ->
+    canonical doc per cluster (the training-corpus dedup composition)."""
+    from deeprank_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_load(spark, sf_dir, "documents"))
+
+
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE pairs AS (" + _MINHASH_LSH_SQL + "), "
+    "sym AS (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION ALL SELECT id_b, id_a FROM pairs), "
+    "reach(a, b) AS ("
+    "  SELECT a, a FROM sym"
+    "  UNION"
+    "  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a"
+    "), "
+    "comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a) "
+    "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, "
+    "(d.doc_id = COALESCE(c.cluster_id, d.doc_id)) AS is_canonical "
+    "FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"
 )
 
 
@@ -1114,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
         "minhash_lsh_pairs": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "emb_cosine_pairs": q_emb_cosine_pairs,
@@ -1167,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "simhash": _SIMHASH_SQL,
         "ngram_jaccard": _JACCARD_SQL,
         "emb_cosine_pairs": _EMB_PAIRS_SQL,

@@ -307,3 +307,43 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs closed under
+    transitivity (connected components over the pair graph), one canonical
+    document per cluster — the standard training-corpus dedup step
+    (candidates -> group -> keep one). Documents with no near-dup are their
+    own singleton cluster.
+
+    -> (doc_id, cluster_id, is_canonical) with cluster_id = the smallest
+    doc id in the cluster (hash-min component labels ARE min ids, so the
+    canonical pick is free). Composes two already-scale-shaped pieces:
+    the banded LSH self-join (no all-pairs) and the O(log n)-round
+    pointer-jumping component kernel.
+    """
+    from .components import components_distributed
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        shingle_k=shingle_k,
+    )
+    comp = components_distributed(pairs, id_cols=("id_a", "id_b")).select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -293,3 +293,29 @@ def test_ngram_jaccard_prefix_filter_lossless(spark):
             ).collect()
         }
         assert got_b == got_e, thr
+
+
+def test_near_dup_clusters_transitive_and_canonical(spark):
+    """LSH pairs closed under transitivity; canonical = min doc id;
+    un-paired docs are singleton clusters."""
+    from deeprank_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, base + "with a tiny suffix tail"),  # near dup of 0/1
+        (3, "completely different content about spark clusters " * 6),
+        (4, "another unrelated document talking about parquet files " * 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_dup_clusters(docs).collect()}
+    assert len(out) == 5
+    # 0,1 certainly cluster (identical signatures); cluster id is the min
+    assert out[0]["cluster_id"] == 0 and out[0]["is_canonical"]
+    assert out[1]["cluster_id"] == 0 and not out[1]["is_canonical"]
+    # transitivity: whatever 2 joined, its cluster id must be the min of it
+    assert out[2]["cluster_id"] <= 2
+    # singletons
+    assert out[3]["cluster_id"] == 3 and out[3]["is_canonical"]
+    assert out[4]["cluster_id"] == 4 and out[4]["is_canonical"]
