@@ -4,7 +4,7 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). ALL 43 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). ALL 44 queries carry DuckDB
 value-hash oracles — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
 SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
@@ -915,6 +915,47 @@ def _quality_sql() -> str:
     )
 
 
+def q_corpus_select(spark, sf_dir):
+    """End-to-end training-corpus selection: quality gate AND language
+    filter AND canonical-only near-dup clustering — the composition a
+    training-data pipeline runs before tokenization. Each piece is its own
+    oracled operator (quality / lang_id / dedup_clusters); this query
+    value-checks their JOIN semantics together."""
+    from deeprank_spark.operators.dedup import near_dup_clusters
+    from deeprank_spark.operators.textstats import language_id, quality_score
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_score(docs).where(F.col("quality") >= 0.55).select(
+        "doc_id", "quality"
+    )
+    lang = language_id(docs).where(F.col("lang_pred") == "en").select("doc_id")
+    canon = near_dup_clusters(docs).where(F.col("is_canonical")).select(
+        "doc_id", "cluster_id"
+    )
+    return (
+        q.join(lang, "doc_id", "leftsemi")
+        .join(canon, "doc_id")
+        .select("doc_id", "cluster_id", F.round("quality", 6).alias("quality"))
+    )
+
+
+def _corpus_select_sql() -> str:
+    # each building block keeps its own (possibly recursive) WITH clause
+    # inside a derived table — no CTE-scope splicing
+    return (
+        "WITH q AS (SELECT doc_id, quality FROM ("
+        + _quality_sql()
+        + ") WHERE quality >= 0.55), "
+        "lang AS (SELECT doc_id FROM (" + _lang_sql() + ") WHERE lang_pred = 'en'), "
+        "canon AS (SELECT doc_id, cluster_id FROM ("
+        + _DEDUP_CLUSTERS_SQL
+        + ") WHERE is_canonical) "
+        "SELECT q.doc_id, c.cluster_id, ROUND(q.quality, 6) AS quality "
+        "FROM q JOIN lang l ON l.doc_id = q.doc_id "
+        "JOIN canon c ON c.doc_id = q.doc_id"
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     from deeprank_spark.operators.similarity import cosine_topk
 
@@ -1147,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "corpus_select": q_corpus_select,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1204,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FP_SQL,
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
+        "corpus_select": _corpus_select_sql(),
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
