@@ -305,6 +305,140 @@ def _pagerank_full_sql(iters: int = PR_FULL_ITERS) -> str:
     return f"WITH {', '.join(ctes)} SELECT id, ROUND(rank, 8) AS pr FROM x{iters}"
 
 
+# Cohesion family (clustering coefficient / k-core / coreness), companions
+# to g_triangles per the north rule's community/cohesion stats.
+# The clustering query runs on a deterministic ~40% edge sample of the
+# co-supplier projection: the full projection is complete at every SF
+# (lcc uniformly 1.0 would value-check nothing), the sampled graph has
+# 95 distinct lcc values at sf0.01. The sampler is a plain integer hash
+# both engines evaluate identically.
+_COSUP_SAMPLED_SQL = (
+    f"WITH pairs AS ({_COSUP_SQL}) "
+    "SELECT u, v FROM pairs WHERE (u*2654435761 + v*40503) % 97 < 40"
+)
+
+# peeling reaches the k=40 fixed point in <=3 rounds at sf0.001/0.01/0.1
+# (measured; sf0.001's 40-core is empty, also a fixed point); H-index
+# iteration converges in <=6 rounds (sf0.1). Margins: 8 / 12.
+KCORE_K = 40
+KCORE_ROUNDS = 8
+CORENUM_ROUNDS = 12
+
+
+def _cosupplier_sampled(spark, sf_dir):
+    p = _cosupplier_edges(spark, sf_dir)
+    return p.where(
+        (F.col("u") * F.lit(2654435761) + F.col("v") * F.lit(40503)) % 97 < 40
+    )
+
+
+def q_g_clustering(spark, sf_dir):
+    """Per-vertex local clustering coefficient (nx.clustering semantics)
+    on the sampled co-supplier graph; ROUND(.,8) pins float comparability."""
+    from deeprank_spark.operators.cohesion import clustering_coefficient
+
+    out = clustering_coefficient(_cosupplier_sampled(spark, sf_dir), id_cols=("u", "v"))
+    return out.select("id", "degree", F.round("lcc", 8).alias("lcc"))
+
+
+_CLUSTERING_SQL = (
+    f"WITH und AS ({_COSUP_SAMPLED_SQL}), "
+    "deg AS (SELECT id, COUNT(*) AS degree FROM ("
+    "  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id), "
+    # degree-ordered orientation, then each triangle counted at every corner
+    "ori AS (SELECT CASE WHEN (du.degree, und.u) < (dv.degree, und.v) "
+    "        THEN und.u ELSE und.v END AS s, "
+    "        CASE WHEN (du.degree, und.u) < (dv.degree, und.v) "
+    "        THEN und.v ELSE und.u END AS d "
+    "        FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v), "
+    "tri AS (SELECT o1.s AS a, o1.d AS b, o2.d AS c "
+    "        FROM ori o1 JOIN ori o2 ON o1.d = o2.s "
+    "        JOIN ori o3 ON o3.s = o1.s AND o3.d = o2.d), "
+    "cnt AS (SELECT id, COUNT(*) AS tri_count FROM ("
+    "  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri"
+    ") GROUP BY id) "
+    "SELECT deg.id, deg.degree, "
+    "ROUND(CASE WHEN deg.degree >= 2 THEN "
+    "2.0 * COALESCE(cnt.tri_count, 0) / (deg.degree * (deg.degree - 1)) "
+    "ELSE 0.0 END, 8) AS lcc "
+    "FROM deg LEFT JOIN cnt ON deg.id = cnt.id"
+)
+
+
+def q_g_kcore(spark, sf_dir):
+    """k-core (k=40) of the symmetric bipartite graph, fixed 8 peeling
+    rounds (idempotent past the <=3-round fixed point — what the unrolled
+    SQL oracle mirrors); convergence mode is pytest-verified vs nx.k_core."""
+    from deeprank_spark.operators.cohesion import kcore_distributed
+
+    return kcore_distributed(
+        _bipartite_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS
+    )
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        # canonical undirected u < v (src/dst key spaces are disjoint)
+        "u0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e)",
+    ]
+    prev = "u0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM ("
+            f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}"
+            f") GROUP BY id)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT p.u, p.v FROM {prev} p "
+            f"JOIN k{i} a ON p.u = a.id JOIN k{i} b ON p.v = b.id)"
+        )
+        prev = f"u{i}"
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT id, COUNT(*) AS core_deg FROM ("
+        f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}"
+        f") GROUP BY id HAVING COUNT(*) >= {k}"
+    )
+
+
+def q_g_corenum(spark, sf_dir):
+    """Full coreness decomposition (nx.core_number semantics) via the
+    H-index fixed point, fixed 12 rounds for SQL-unrolled oracle parity
+    (<=6 rounds to converge measured at sf0.1; iteration is idempotent at
+    the fixed point). Convergence mode is pytest-verified vs networkx."""
+    from deeprank_spark.operators.cohesion import core_numbers_distributed
+
+    return core_numbers_distributed(
+        _bipartite_edges(spark, sf_dir), rounds=CORENUM_ROUNDS
+    )
+
+
+def _corenum_sql(rounds: int = CORENUM_ROUNDS) -> str:
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src AS s, dst AS d FROM e "
+        "UNION ALL SELECT dst, src FROM e)",
+        "h0 AS MATERIALIZED (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS h "
+        "FROM sym GROUP BY s)",
+    ]
+    prev = "h0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT id, CAST(MAX(CASE WHEN nh >= rn "
+            f"THEN rn ELSE 0 END) AS BIGINT) AS h FROM ("
+            f"SELECT sym.d AS id, x.h AS nh, ROW_NUMBER() OVER "
+            f"(PARTITION BY sym.d ORDER BY x.h DESC) AS rn "
+            f"FROM sym JOIN {prev} x ON sym.s = x.id"
+            f") GROUP BY id)"
+        )
+        prev = f"h{i}"
+    return f"WITH {', '.join(ctes)} SELECT id, h AS core FROM {prev}"
+
+
 # ---------------------------------------------------------------------------
 # dedup / text / similarity queries
 # ---------------------------------------------------------------------------
@@ -1175,6 +1309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles": q_g_triangles,
         "g_lpa2": q_g_lpa,
         "g_pagerank_full": q_g_pagerank_full,
+        "g_clustering": q_g_clustering,
+        "g_kcore": q_g_kcore,
+        "g_corenum": q_g_corenum,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -1231,6 +1368,9 @@ def oracle_sql() -> dict[str, str]:
         "g_components": _CC_SQL,
         "g_triangles": _TRI_SQL,
         "g_lpa2": _lpa_sql(),
+        "g_clustering": _CLUSTERING_SQL,
+        "g_kcore": _kcore_sql(),
+        "g_corenum": _corenum_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -1,0 +1,218 @@
+"""Cohesion statistics: clustering coefficient, k-core, core numbers.
+
+Companions to the triangle kernel for the north-rule "community/cohesion
+stats" family (the reference ships none of these — DeepRank's cohesion
+signal is nx.pagerank + connected components, textcrafts/deepRank.py:401,
+535 — but any link-graph engine over the same edge tables needs them).
+
+All three run on one (possibly giant) undirected graph expressed as an
+edge DataFrame and are pure DataFrame programs:
+
+- `clustering_coefficient` — nx.clustering semantics: one reuse of the
+  degree-oriented triangle kernel plus a degree join; no new shuffle
+  shape beyond `triangles_distributed` itself.
+- `kcore_distributed` — iterative peeling to a fixed point: each round
+  is one degree aggregation + one semi-join against the surviving vertex
+  set. Round count is bounded by the peeling depth (<= diameter-ish in
+  practice); each round's shuffle is on the vertex id only, and the edge
+  set shrinks monotonically so late rounds are cheap. Fixed-round mode
+  (`rounds=`) gives the deterministic schedule a SQL-unrolled
+  differential oracle needs (same pattern as pagerank's tol=0 mode).
+- `core_numbers_distributed` — full coreness decomposition via the
+  H-index fixed point (Lu et al. 2016, "The H-index of a network node
+  and its relation to degree and coreness"): h0 = degree,
+  h_{t+1}(v) = H({h_t(u) : u ~ v}), which converges monotonically from
+  above to core_number(v). Each round is one join + one windowed
+  H-index aggregation — no vertex deletion, so the per-round work is
+  constant and skew follows the degree distribution (the windowed
+  H-index is a per-vertex sort of its neighbor values; a hub's window
+  is O(deg log deg) on one reducer — for power-law graphs cap it with
+  `salt_hint` pre-aggregation of equal neighbor values, which is
+  lossless for H-index).
+
+Scale notes (100 TB shape): all loops localCheckpoint eagerly per round
+with strong refs, same lineage discipline as pagerank.py (measured
+there); shuffles stay on the vertex id with the session's partition
+count; no collect, no Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame, id_cols: tuple) -> DataFrame:
+    """Dedup to canonical undirected simple edges u < v (drops self-loops)."""
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+
+
+def _sym(und: DataFrame) -> DataFrame:
+    """Both directions of the canonical undirected edge set."""
+    return und.select(F.col("u").alias("s"), F.col("v").alias("d")).union(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, id_cols: tuple = ("src", "dst")
+) -> DataFrame:
+    """Per-vertex local clustering coefficient (id, degree, lcc).
+
+    nx.clustering semantics on the undirected simple graph:
+    lcc = 2*tri / (deg*(deg-1)), 0.0 where deg < 2.
+    """
+    from deeprank_spark.operators.triangles import triangles_distributed
+
+    und = _undirected(edges, id_cols)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangles_distributed(und, id_cols=("u", "v"))
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("tri_count"), F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
+def kcore_distributed(
+    edges: DataFrame,
+    k: int,
+    id_cols: tuple = ("src", "dst"),
+    rounds: int | None = None,
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Vertices of the k-core with their degree inside it (id, core_deg).
+
+    Iterative peeling: drop every vertex whose degree in the current
+    induced subgraph is < k, repeat to a fixed point (nx.k_core node set).
+    `rounds=None` converges (asserting fixed point within max_rounds);
+    `rounds=R` runs exactly R peels — peeling is idempotent at the fixed
+    point, so any R past convergence yields the fixed point, which is what
+    lets an unrolled SQL oracle mirror the result exactly.
+    """
+    und = _undirected(edges, id_cols).localCheckpoint(eager=True)
+    kept: list[DataFrame] = [und]
+    fixed = rounds is not None
+    limit = rounds if fixed else max_rounds
+    prev_m = und.count() if not fixed else -1
+    r = 0
+    while r < limit:
+        r += 1
+        deg = (
+            und.select(F.col("u").alias("id"))
+            .union(und.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("id")
+        und = (
+            und.join(keep.select(F.col("id").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("id").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        kept.append(und)
+        if not fixed:
+            m = und.count()
+            if m == prev_m:
+                break
+            prev_m = m
+    else:
+        if not fixed:
+            raise RuntimeError(f"kcore: no fixed point within {max_rounds} rounds")
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("core_deg"))
+    )
+    return deg.where(F.col("core_deg") >= k)
+
+
+def core_numbers_distributed(
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    rounds: int | None = None,
+    max_rounds: int = 500,
+) -> DataFrame:
+    """Coreness per vertex (id, core) via the H-index fixed point.
+
+    h0 = degree; each round replaces every vertex's value with the
+    H-index of its neighbors' values (max h such that >= h neighbors have
+    value >= h). The sequence is monotone non-increasing and its fixed
+    point is exactly core_number (Lu et al. 2016). `rounds=None`
+    converges (stops when no vertex changed); `rounds=R` runs exactly R
+    rounds for SQL-unrolled oracle parity (H-index iteration is
+    idempotent at the fixed point).
+
+    The per-round H-index uses the windowed formulation
+    h(v) = max(rn) over neighbors sorted by value desc where value >= rn
+    — the same multiset computation a SQL oracle can express verbatim.
+    """
+    und = _undirected(edges, id_cols)
+    sym = _sym(und).localCheckpoint(eager=True)
+    state = sym.groupBy(F.col("s").alias("id")).agg(
+        F.count("*").cast("long").alias("h")
+    ).localCheckpoint(eager=True)
+    kept: list[DataFrame] = [state]
+    fixed = rounds is not None
+    limit = rounds if fixed else max_rounds
+    w = Window.partitionBy("d").orderBy(F.col("nh").desc())
+    r = 0
+    while r < limit:
+        r += 1
+        nbr = sym.join(
+            state.select(F.col("id").alias("s"), F.col("h").alias("nh")), "s"
+        ).select("d", "nh")
+        new_state = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("d").alias("id"))
+            .agg(
+                F.max(
+                    F.when(F.col("nh") >= F.col("rn"), F.col("rn")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("h")
+            )
+            .localCheckpoint(eager=True)
+        )
+        kept.append(new_state)
+        if not fixed:
+            changed = (
+                new_state.join(
+                    state.select("id", F.col("h").alias("ph")), "id"
+                )
+                .where(F.col("h") != F.col("ph"))
+                .count()
+            )
+            state = new_state
+            if changed == 0:
+                break
+        else:
+            state = new_state
+    else:
+        if not fixed:
+            raise RuntimeError(
+                f"core_numbers: no fixed point within {max_rounds} rounds"
+            )
+    return state.select("id", F.col("h").alias("core"))
