@@ -70,7 +70,10 @@ def clustering_coefficient(
     """
     from deeprank_spark.operators.triangles import triangles_distributed
 
-    und = _undirected(edges, id_cols)
+    # cache: the canonical edge set feeds both the degree agg and the
+    # triangle kernel — without it the upstream build (often an expensive
+    # projection join) runs twice
+    und = _undirected(edges, id_cols).cache()
     deg = (
         und.select(F.col("u").alias("id"))
         .union(und.select(F.col("v").alias("id")))
@@ -161,11 +164,17 @@ def core_numbers_distributed(
     point is exactly core_number (Lu et al. 2016). `rounds=None`
     converges (stops when no vertex changed); `rounds=R` runs exactly R
     rounds for SQL-unrolled oracle parity (H-index iteration is
-    idempotent at the fixed point).
+    idempotent at the fixed point; the value is an exact integer, so any
+    correct H-index formulation yields the identical multiset).
 
-    The per-round H-index uses the windowed formulation
-    h(v) = max(rn) over neighbors sorted by value desc where value >= rn
-    — the same multiset computation a SQL oracle can express verbatim.
+    The per-round H-index uses the histogram formulation
+    h(v) = max over distinct neighbor values x of min(x, |{u ~ v : h(u) >= x}|)
+    rather than a per-vertex sorted window: the (vertex, value) count
+    gets Spark's partial map-side combine, and the per-vertex reduce
+    touches only the distinct-value histogram (<= max coreness entries),
+    so a 10^8-degree hub costs its reducer O(distinct values), not an
+    O(deg log deg) sort — the same two-phase shape the salted PageRank
+    aggregation uses, but lossless by construction.
     """
     und = _undirected(edges, id_cols)
     sym = _sym(und).localCheckpoint(eager=True)
@@ -175,22 +184,26 @@ def core_numbers_distributed(
     kept: list[DataFrame] = [state]
     fixed = rounds is not None
     limit = rounds if fixed else max_rounds
-    w = Window.partitionBy("d").orderBy(F.col("nh").desc())
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.col("nh").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     r = 0
     while r < limit:
         r += 1
-        nbr = sym.join(
-            state.select(F.col("id").alias("s"), F.col("h").alias("nh")), "s"
-        ).select("d", "nh")
+        hist = (
+            sym.join(
+                state.select(F.col("id").alias("s"), F.col("h").alias("nh")), "s"
+            )
+            .groupBy(F.col("d").alias("id"), "nh")
+            .agg(F.count("*").alias("cnt"))
+        )
         new_state = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("d").alias("id"))
+            hist.withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("id")
             .agg(
-                F.max(
-                    F.when(F.col("nh") >= F.col("rn"), F.col("rn")).otherwise(
-                        F.lit(0)
-                    )
-                )
+                F.max(F.least(F.col("nh"), F.col("cum")))
                 .cast("long")
                 .alias("h")
             )
