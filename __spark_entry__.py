@@ -1090,6 +1090,88 @@ def _corpus_select_sql() -> str:
     )
 
 
+# DuckDB mirror of corpus.word_ngrams' tokenizer+n-gram build (same
+# tokenizer as _TOKEN_SQL; list_slice is inclusive, range end-exclusive)
+def _ngrams_sql_expr(n: int, text: str = "text") -> str:
+    toks = (
+        f"list_filter(string_split_regex(lower({text}), '[^a-z0-9'']+'), "
+        "x -> length(x) > 0)"
+    )
+    return (
+        f"(SELECT CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(1, len(t) - {n} + 2), "
+        f"i -> array_to_string(list_slice(t, i, i + {n} - 1), ' ')) "
+        f"ELSE []::VARCHAR[] END FROM (SELECT {toks} AS t))"
+    )
+
+
+def q_rep_score(spark, sf_dir):
+    """Gopher-style within-document repetition: duplicate word-3-gram
+    fraction. Pure projection, no shuffle."""
+    from deeprank_spark.operators.corpus import repetition_score
+
+    r = repetition_score(_load(spark, sf_dir, "documents"), n=3)
+    return r.select(
+        "doc_id", "n_ngrams", "n_distinct", F.round("dup_frac", 8).alias("dup_frac")
+    )
+
+
+_REP_SQL = (
+    f"WITH ng AS (SELECT doc_id, {_ngrams_sql_expr(3)} AS gs FROM documents) "
+    "SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams, "
+    "CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct, "
+    "ROUND(1.0 - len(list_distinct(gs)) / CAST(greatest(len(gs), 1) AS DOUBLE), 8) "
+    "AS dup_frac FROM ng"
+)
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark n-gram decontamination: docs sharing any word n-gram with
+    the held-out set (doc_id % 37 == 0 plays the benchmark). n=3 here —
+    the real-world default is 8+, but this synthetic corpus' 8-gram
+    overlap is a single doc at sf0.01, so the contract checks the
+    operator where the fixture has texture (312 contaminated docs)."""
+    from deeprank_spark.operators.corpus import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+_DECONTAM_SQL = (
+    f"WITH ng AS (SELECT doc_id, {_ngrams_sql_expr(3)} AS gs FROM documents), "
+    "flat AS (SELECT DISTINCT doc_id, g FROM ng, UNNEST(gs) AS u(g)), "
+    "bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 37 = 0) "
+    "SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
+    "FROM flat f JOIN bench b USING (g) WHERE f.doc_id % 37 <> 0 "
+    "GROUP BY f.doc_id"
+)
+
+# per-source sampling rates (k/8, exactly representable so the python
+# int() and SQL CAST round identically when scaled by 16^4)
+_STRAT_RATES = {f"src{i}": ((i * 3) % 7 + 1) / 8 for i in range(25)}
+
+
+def q_strat_sample(spark, sf_dir):
+    """Deterministic per-source Bernoulli sample for training-mix shaping
+    (md5-threshold rule — reproducible across engines, unlike df.sample)."""
+    from deeprank_spark.operators.corpus import stratified_sample
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d, _STRAT_RATES, stratum_col="source", id_col="doc_id"
+    ).select("doc_id", "source")
+
+
+_STRAT_SQL = (
+    "SELECT doc_id, source FROM documents "
+    "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+    "printf('%04x', CAST(((CAST(substr(source, 4) AS INT) * 3) % 7 + 1) "
+    "/ 8.0 * 65536 AS INT))"
+)
+
+
 def q_ann_cosine(spark, sf_dir):
     from deeprank_spark.operators.similarity import cosine_topk
 
@@ -1326,6 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "corpus_select": q_corpus_select,
+        "rep_score": q_rep_score,
+        "decontam": q_decontam,
+        "strat_sample": q_strat_sample,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1387,6 +1472,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_sql(),
         "quality": _quality_sql(),
         "corpus_select": _corpus_select_sql(),
+        "rep_score": _REP_SQL,
+        "decontam": _DECONTAM_SQL,
+        "strat_sample": _STRAT_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

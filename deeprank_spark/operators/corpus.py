@@ -1,0 +1,138 @@
+"""Corpus curation operators for LLM training-data pipelines.
+
+Three ops a 100 TB pretraining pipeline runs after dedup/quality
+(dedup.py / textstats.py) and before writing the training mix:
+
+- `decontaminate` — benchmark n-gram overlap (the standard train/test
+  contamination check: flag any training document sharing a word n-gram
+  with an evaluation set; n=8..13 in common practice). Pure-expression
+  n-gram generation on both sides; the join key is the n-gram string.
+  The benchmark side is DISTINCT n-grams and is usually small enough for
+  Spark's auto-broadcast; when it isn't, the join degrades to a shuffle
+  hash join on the n-gram — fan-out per n-gram is bounded by the number
+  of documents containing it, which is the quantity being measured, so
+  there is no incidental blow-up beyond the answer size.
+- `repetition_score` — Gopher-style within-document repetition: the
+  fraction of duplicate word n-grams. One projection, no shuffle; the
+  n-gram list never leaves the row (size/array_distinct on an array
+  column).
+- `stratified_sample` — deterministic per-stratum Bernoulli sampling for
+  mix shaping: keep a row iff the first 4 hex digits of md5(id) fall
+  below the stratum's rate threshold. Reproducible across engines and
+  runs (md5 hex is lowercase in both Spark and DuckDB), map-only (the
+  rates dimension broadcasts), and exactly mirrorable in SQL — unlike
+  `df.sample()`, whose RNG is partition-dependent.
+
+All three are pure Catalyst expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text, n: int) -> F.Column:
+    """Space-joined word n-grams of `text` as array<string> (may be empty).
+
+    Tokenization matches textstats.tokens_col (lower + split on
+    non-[a-z0-9']) so corpus ops compose with quality/language stats.
+    """
+    from deeprank_spark.operators.textstats import tokens_col
+
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # guard: sequence(1, k) DESCENDS for k < 1 instead of being empty
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_score(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, n_ngrams, n_distinct, dup_frac).
+
+    dup_frac = 1 - distinct/total word n-grams (0.0 for docs shorter
+    than n tokens) — the Gopher repetition filters' core statistic.
+    """
+    g = word_ngrams(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col),
+        F.size(g).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(g)).cast("long").alias("n_distinct"),
+        (
+            1.0
+            - F.size(F.array_distinct(g))
+            / F.greatest(F.size(g), F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """-> (doc_id, n_hits): training docs sharing >=1 word n-gram with the
+    benchmark set; n_hits = number of DISTINCT contaminated n-grams in the
+    doc. Docs with no overlap are absent (semantics: a contamination
+    report, not a per-doc annotate — anti-join the ids to drop them).
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bcol), n)).alias("g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    return (
+        doc_grams.join(bench_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample of `df`.
+
+    Keeps a row iff substr(md5(cast(id as string)), 1, 4) <
+    hex(floor(rate * 16^4)), where rate comes from `rates[stratum]`
+    (default_rate for unlisted strata). Thresholds are 4-char lowercase
+    hex, so the lexicographic compare IS the numeric compare; rate>=1.0
+    maps to the sentinel 'g' (> every hex digit, keeps everything). The
+    threshold dimension is tiny and broadcasts; the filter is map-side
+    only — no shuffle at any scale.
+    """
+
+    def thr(rate: float) -> str:
+        return "g" if rate >= 1.0 else f"{max(int(rate * 65536), 0):04x}"
+
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, thr(v)) for k, v in sorted(rates.items())],
+        f"{stratum_col} string, thr string",
+    )
+    default_thr = thr(default_rate)
+    return (
+        df.join(F.broadcast(dim), stratum_col, "left")
+        .where(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+            < F.coalesce(F.col("thr"), F.lit(default_thr))
+        )
+        .drop("thr")
+    )

@@ -1,0 +1,98 @@
+"""Corpus curation ops vs pure-python oracles — exact gates."""
+
+import hashlib
+import re
+
+import pytest
+
+from deeprank_spark.operators.corpus import (
+    decontaminate,
+    repetition_score,
+    stratified_sample,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat and the cat sat again", "a"),
+    (2, "the cat sat on the mat", "a"),
+    (3, "completely different words entirely here now", "b"),
+    (4, "short", "b"),
+    (5, "", "b"),
+    (6, "repeat repeat repeat repeat repeat repeat", "c"),
+    (7, "The CAT sat, on the MAT!", "c"),  # case/punct-normalized overlap
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+
+
+def _ngrams(text, n):
+    t = _toks(text)
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+
+def _sdf(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_repetition_score(spark, n):
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["dup_frac"])
+        for r in repetition_score(_sdf(spark), n=n).collect()
+    }
+    for doc_id, text, _ in DOCS:
+        g = _ngrams(text, n)
+        exp_frac = 1.0 - len(set(g)) / max(len(g), 1)
+        assert got[doc_id][0] == len(g), doc_id
+        assert got[doc_id][1] == len(set(g)), doc_id
+        assert abs(got[doc_id][2] - exp_frac) < 1e-12, doc_id
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_decontaminate(spark, n):
+    docs = _sdf(spark, [d for d in DOCS if d[0] % 2 == 1])
+    bench = _sdf(spark, [d for d in DOCS if d[0] % 2 == 0])
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=n).collect()
+    }
+    bench_grams = set()
+    for doc_id, text, _ in DOCS:
+        if doc_id % 2 == 0:
+            bench_grams.update(_ngrams(text, n))
+    exp = {}
+    for doc_id, text, _ in DOCS:
+        if doc_id % 2 == 1:
+            hits = len(set(_ngrams(text, n)) & bench_grams)
+            if hits:
+                exp[doc_id] = hits
+    assert got == exp
+
+
+def test_stratified_sample_matches_python_rule(spark):
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            _sdf(spark), rates, stratum_col="src", id_col="doc_id"
+        ).collect()
+    }
+    exp = set()
+    for doc_id, _, src in DOCS:
+        rate = rates[src]
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        thr = "g" if rate >= 1.0 else f"{int(rate * 65536):04x}"
+        if h < thr:
+            exp.add(doc_id)
+    assert got == exp
+    # stratum 'a' fully kept, 'c' fully dropped
+    assert all(d in got for d, _, s in DOCS if s == "a")
+    assert all(d not in got for d, _, s in DOCS if s == "c")
+
+
+def test_stratified_sample_default_rate(spark):
+    got = stratified_sample(
+        _sdf(spark), {"a": 1.0}, stratum_col="src", id_col="doc_id"
+    ).collect()
+    assert {r["src"] for r in got} == {"a"}
