@@ -417,6 +417,69 @@ def q_g_corenum(spark, sf_dir):
     )
 
 
+def q_g_assortativity(spark, sf_dir):
+    """Degree assortativity (one-row Pearson over edge endpoint degrees,
+    nx semantics) of the bipartite graph; ROUND(.,8) pins float parity."""
+    from deeprank_spark.operators.cohesion import degree_assortativity
+
+    out = degree_assortativity(_bipartite_edges(spark, sf_dir))
+    return out.select(
+        "n_edges", F.round("assortativity", 8).alias("assortativity")
+    )
+
+
+_ASSORT_SQL = (
+    f"WITH e AS ({_EDGES_SQL}), "
+    "und AS (SELECT src AS u, dst AS v FROM e), "
+    "deg AS (SELECT id, COUNT(*) AS deg FROM ("
+    "  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id), "
+    "p AS (SELECT CAST(du.deg AS DOUBLE) AS x, CAST(dv.deg AS DOUBLE) AS y "
+    "      FROM und JOIN deg du ON du.id = und.u JOIN deg dv ON dv.id = und.v), "
+    "s AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p) "
+    "SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges, "
+    "ROUND(corr(x, y), 8) AS assortativity FROM s"
+)
+
+
+def q_g_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition on the bipartite graph —
+    composes two oracled kernels (g_lpa2 labels, modularity aggregate)
+    into the community-quality number a link-graph report ships."""
+    from deeprank_spark.operators.cohesion import modularity
+    from deeprank_spark.operators.labelprop import lpa_distributed
+
+    e = _bipartite_edges(spark, sf_dir)
+    labels = lpa_distributed(e, max_iter=LPA_ITERS)
+    out = modularity(e, labels)
+    return out.select(
+        "n_communities", F.round("modularity", 8).alias("modularity")
+    )
+
+
+def _modularity_sql() -> str:
+    return (
+        f"WITH lab AS ({_lpa_sql()}), "
+        f"e2 AS ({_EDGES_SQL}), "
+        "und AS (SELECT src AS u, dst AS v FROM e2), "
+        "deg AS (SELECT id, COUNT(*) AS deg FROM ("
+        "  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id), "
+        "mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und), "
+        "intra AS (SELECT lu.label AS community, COUNT(*) AS m_c "
+        "          FROM und JOIN lab lu ON lu.id = und.u "
+        "          JOIN lab lv ON lv.id = und.v "
+        "          WHERE lu.label = lv.label GROUP BY lu.label), "
+        "deg_c AS (SELECT l.label AS community, SUM(d.deg) AS d_c "
+        "          FROM deg d JOIN lab l ON l.id = d.id GROUP BY l.label), "
+        "per_c AS (SELECT dc.community, "
+        "  COALESCE(i.m_c, 0) / (SELECT m FROM mm) "
+        "  - (dc.d_c / (2.0 * (SELECT m FROM mm))) "
+        "  * (dc.d_c / (2.0 * (SELECT m FROM mm))) AS q_c "
+        "  FROM deg_c dc LEFT JOIN intra i ON i.community = dc.community) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_communities, "
+        "ROUND(SUM(q_c), 8) AS modularity FROM per_c"
+    )
+
+
 def _corenum_sql(rounds: int = CORENUM_ROUNDS) -> str:
     ctes = [
         f"e AS MATERIALIZED ({_EDGES_SQL})",
@@ -1394,6 +1457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_clustering": q_g_clustering,
         "g_kcore": q_g_kcore,
         "g_corenum": q_g_corenum,
+        "g_assortativity": q_g_assortativity,
+        "g_modularity": q_g_modularity,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -1456,6 +1521,8 @@ def oracle_sql() -> dict[str, str]:
         "g_clustering": _CLUSTERING_SQL,
         "g_kcore": _kcore_sql(),
         "g_corenum": _corenum_sql(),
+        "g_assortativity": _ASSORT_SQL,
+        "g_modularity": _modularity_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

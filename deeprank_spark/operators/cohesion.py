@@ -150,6 +150,107 @@ def kcore_distributed(
     return deg.where(F.col("core_deg") >= k)
 
 
+def degree_assortativity(
+    edges: DataFrame, id_cols: tuple = ("src", "dst")
+) -> DataFrame:
+    """-> one row (n_edges, assortativity): Pearson correlation of the
+    degrees at the two endpoints of every undirected edge
+    (nx.degree_assortativity_coefficient on the simple graph).
+
+    Shape at scale: one degree aggregation, two co-keyed joins to tag
+    endpoint degrees, then a single global aggregate with map-side
+    partial combine — no per-vertex state, no iteration. The correlation
+    uses the symmetrized endpoint-pair multiset (each edge contributes
+    (du,dv) and (dv,du)), which makes the x/y moments equal by
+    construction, matching networkx.
+    """
+    und = _undirected(edges, id_cols).cache()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    pairs = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.col("du").cast("double").alias("x"),
+            F.col("dv").cast("double").alias("y"),
+        )
+    )
+    sym_pairs = pairs.union(pairs.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    return sym_pairs.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.corr("x", "y").alias("assortativity"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    label_cols: tuple = ("id", "label"),
+) -> DataFrame:
+    """-> one row (n_communities, modularity): Newman modularity
+    Q = sum_c [ m_c/m - (D_c/(2m))^2 ] of a vertex partition on the
+    undirected simple graph (nx.community.modularity semantics; vertices
+    missing from `labels` become singleton communities — their own id is
+    used as the community key, so the label column must share the id
+    type, which holds for the LPA/CC kernels whose labels ARE vertex
+    ids). Requires a non-empty edge set (modularity is undefined at m=0,
+    as in networkx).
+
+    Shape at scale: two joins keyed on the vertex id to label edge
+    endpoints, one groupBy(community), one global aggregate.
+    """
+    lid, lcol = label_cols
+    lab = labels.select(F.col(lid).alias("id"), F.col(lcol).alias("community"))
+    und = _undirected(edges, id_cols).cache()
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    m = und.count()
+    if m == 0:
+        raise ValueError("modularity undefined on an empty edge set")
+    tagged = (
+        und.join(
+            lab.select(F.col("id").alias("u"), F.col("community").alias("cu")), "u", "left"
+        )
+        .join(
+            lab.select(F.col("id").alias("v"), F.col("community").alias("cv")), "v", "left"
+        )
+        .select(
+            F.coalesce(F.col("cu"), F.col("u")).alias("cu"),
+            F.coalesce(F.col("cv"), F.col("v")).alias("cv"),
+        )
+    )
+    intra = (
+        tagged.where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("m_c"))
+    )
+    deg_c = (
+        deg.join(lab, "id", "left")
+        .groupBy(F.coalesce(F.col("community"), F.col("id")).alias("community"))
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    per_c = deg_c.join(intra, "community", "left").select(
+        "community",
+        (
+            F.coalesce(F.col("m_c"), F.lit(0)) / F.lit(float(m))
+            - (F.col("d_c") / F.lit(2.0 * m)) * (F.col("d_c") / F.lit(2.0 * m))
+        ).alias("q_c"),
+    )
+    return per_c.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("q_c").alias("modularity"),
+    )
+
+
 def core_numbers_distributed(
     edges: DataFrame,
     id_cols: tuple = ("src", "dst"),

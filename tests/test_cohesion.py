@@ -8,7 +8,9 @@ import pytest
 from deeprank_spark.operators.cohesion import (
     clustering_coefficient,
     core_numbers_distributed,
+    degree_assortativity,
     kcore_distributed,
+    modularity,
 )
 
 
@@ -96,6 +98,49 @@ def test_core_numbers(spark, name):
         for r in core_numbers_distributed(_sdf(spark, edges)).collect()
     }
     assert got == {v: c for v, c in exp.items()}
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_degree_assortativity(spark, name):
+    edges = FIXTURES[name]
+    g = nx.Graph(edges)
+    exp = nx.degree_assortativity_coefficient(g)
+    row = degree_assortativity(_sdf(spark, edges)).collect()[0]
+    assert row["n_edges"] == g.number_of_edges()
+    assert abs(row["assortativity"] - exp) < 1e-9, (row["assortativity"], exp)
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_modularity_vs_networkx(spark, name):
+    edges = FIXTURES[name]
+    g = nx.Graph(edges)
+    # deterministic 3-way partition by id
+    parts = {v: v % 3 for v in g.nodes()}
+    comms = [{v for v in g if parts[v] == c} for c in range(3)]
+    comms = [c for c in comms if c]
+    exp = nx.community.modularity(g, comms)
+    labels = _sdf(spark, edges).sparkSession.createDataFrame(
+        [(int(v), int(c)) for v, c in parts.items()], "id long, label long"
+    )
+    row = modularity(_sdf(spark, edges), labels).collect()[0]
+    assert row["n_communities"] == len(comms)
+    assert abs(row["modularity"] - exp) < 1e-12, (row["modularity"], exp)
+
+
+def test_modularity_singleton_fallback(spark):
+    edges = FIXTURES["two_tri"]
+    g = nx.Graph(edges)
+    # label only vertices 0-2 as one community; the rest become singletons
+    labeled = {0: 9, 1: 9, 2: 9}
+    comms = [{0, 1, 2}] + [{v} for v in g.nodes() if v not in labeled]
+    exp = nx.community.modularity(g, comms)
+    spark_df = _sdf(spark, edges)
+    labels = spark_df.sparkSession.createDataFrame(
+        [(v, c) for v, c in labeled.items()], "id long, label long"
+    )
+    row = modularity(spark_df, labels).collect()[0]
+    assert row["n_communities"] == len(comms)
+    assert abs(row["modularity"] - exp) < 1e-12
 
 
 def test_core_numbers_fixed_rounds(spark):
