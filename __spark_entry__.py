@@ -417,6 +417,50 @@ def q_g_corenum(spark, sf_dir):
     )
 
 
+def q_g_linkpred(spark, sf_dir):
+    """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
+    for every non-adjacent two-hop pair of the sampled co-supplier graph.
+    At 100 TB the candidate set comes from LSH/ANN or per-community
+    enumeration, not the wedge self-join used on this small fixture."""
+    from deeprank_spark.operators.linkpred import (
+        link_prediction_scores,
+        two_hop_candidates,
+    )
+
+    e = _cosupplier_sampled(spark, sf_dir)
+    out = link_prediction_scores(e, two_hop_candidates(e, ("u", "v")), ("u", "v"))
+    return out.select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round("jaccard", 8).alias("jaccard"),
+        F.round("adamic_adar", 8).alias("adamic_adar"),
+    )
+
+
+_LINKPRED_SQL = (
+    f"WITH und AS ({_COSUP_SAMPLED_SQL}), "
+    "sym AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und), "
+    "deg AS (SELECT s AS id, COUNT(*) AS deg FROM sym GROUP BY s), "
+    "cand AS (SELECT DISTINCT n1.d AS u, n2.d AS v "
+    "         FROM sym n1 JOIN sym n2 ON n1.s = n2.s AND n1.d < n2.d "
+    "         WHERE NOT EXISTS (SELECT 1 FROM und "
+    "                           WHERE und.u = n1.d AND und.v = n2.d)), "
+    "cm AS (SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS cn, "
+    "       SUM(1.0 / ln(d.deg)) AS aa "
+    "       FROM cand c JOIN sym a ON a.s = c.u "
+    "       JOIN sym b ON b.s = c.v AND b.d = a.d "
+    "       JOIN deg d ON d.id = a.d GROUP BY c.u, c.v) "
+    "SELECT c.u, c.v, COALESCE(cm.cn, 0) AS common_neighbors, "
+    "ROUND(CASE WHEN du.deg + dv.deg - COALESCE(cm.cn, 0) > 0 "
+    "THEN COALESCE(cm.cn, 0) / CAST(du.deg + dv.deg - COALESCE(cm.cn, 0) AS DOUBLE) "
+    "ELSE 0.0 END, 8) AS jaccard, "
+    "ROUND(COALESCE(cm.aa, 0.0), 8) AS adamic_adar "
+    "FROM cand c LEFT JOIN cm ON cm.u = c.u AND cm.v = c.v "
+    "JOIN deg du ON du.id = c.u JOIN deg dv ON dv.id = c.v"
+)
+
+
 def q_g_assortativity(spark, sf_dir):
     """Degree assortativity (one-row Pearson over edge endpoint degrees,
     nx semantics) of the bipartite graph; ROUND(.,8) pins float parity."""
@@ -1459,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_corenum": q_g_corenum,
         "g_assortativity": q_g_assortativity,
         "g_modularity": q_g_modularity,
+        "g_linkpred": q_g_linkpred,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -1523,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "g_corenum": _corenum_sql(),
         "g_assortativity": _ASSORT_SQL,
         "g_modularity": _modularity_sql(),
+        "g_linkpred": _LINKPRED_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -143,6 +143,56 @@ def test_modularity_singleton_fallback(spark):
     assert abs(row["modularity"] - exp) < 1e-12
 
 
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_link_prediction(spark, name):
+    from deeprank_spark.operators.linkpred import (
+        link_prediction_scores,
+        two_hop_candidates,
+    )
+
+    edges = FIXTURES[name]
+    g = nx.Graph(edges)
+    e = _sdf(spark, edges)
+    cand_rows = two_hop_candidates(e).collect()
+    exp_cand = {
+        (min(u, v), max(u, v))
+        for u in g
+        for v in g
+        if u < v and not g.has_edge(u, v) and set(g[u]) & set(g[v])
+    }
+    assert {(r["u"], r["v"]) for r in cand_rows} == exp_cand
+
+    cand = e.sparkSession.createDataFrame(
+        sorted(exp_cand), "u long, v long"
+    )
+    got = {
+        (r["u"], r["v"]): (r["common_neighbors"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction_scores(e, cand).collect()
+    }
+    jac = {(u, v): j for u, v, j in nx.jaccard_coefficient(g, sorted(exp_cand))}
+    aa = {(u, v): a for u, v, a in nx.adamic_adar_index(g, sorted(exp_cand))}
+    assert set(got) == exp_cand
+    for p in exp_cand:
+        cn = len(set(g[p[0]]) & set(g[p[1]]))
+        assert got[p][0] == cn, p
+        assert abs(got[p][1] - jac[p]) < 1e-12, p
+        assert abs(got[p][2] - aa[p]) < 1e-9, p
+
+
+def test_link_prediction_zero_overlap_pair(spark):
+    from deeprank_spark.operators.linkpred import link_prediction_scores
+
+    edges = FIXTURES["two_tri"]
+    e = _sdf(spark, edges)
+    cand = e.sparkSession.createDataFrame([(0, 5)], "u long, v long")
+    row = link_prediction_scores(e, cand).collect()[0]
+    assert (row["common_neighbors"], row["jaccard"], row["adamic_adar"]) == (
+        0,
+        0.0,
+        0.0,
+    )
+
+
 def test_core_numbers_fixed_rounds(spark):
     edges = FIXTURES["gnm"]
     g = nx.Graph(edges)
