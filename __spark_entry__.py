@@ -417,6 +417,30 @@ def q_g_corenum(spark, sf_dir):
     )
 
 
+def q_g_butterflies(spark, sf_dir):
+    """Per-supplier butterfly (4-cycle) counts on the bipartite graph —
+    the cohesion primitive that exists where triangles cannot (wedge
+    center = customer side)."""
+    from deeprank_spark.operators.cohesion import butterflies_bipartite
+
+    return butterflies_bipartite(_bipartite_edges(spark, sf_dir))
+
+
+_BUTTERFLY_SQL = (
+    f"WITH e AS ({_EDGES_SQL}), "
+    "pk AS (SELECT a.dst AS v1, b.dst AS v2, COUNT(*) AS k "
+    "       FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst "
+    "       GROUP BY a.dst, b.dst), "
+    "pb AS (SELECT v1, v2, CAST(k * (k - 1) / 2 AS BIGINT) AS bf FROM pk), "
+    # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the value hasher
+    # would see as a different type than Spark's BIGINT
+    "pv AS (SELECT id, CAST(SUM(bf) AS BIGINT) AS butterflies FROM ("
+    "  SELECT v1 AS id, bf FROM pb UNION ALL SELECT v2, bf FROM pb) GROUP BY id) "
+    "SELECT d.id, COALESCE(pv.butterflies, 0) AS butterflies "
+    "FROM (SELECT DISTINCT dst AS id FROM e) d LEFT JOIN pv ON pv.id = d.id"
+)
+
+
 def q_g_linkpred(spark, sf_dir):
     """Link-prediction scores (common neighbors / Jaccard / Adamic-Adar)
     for every non-adjacent two-hop pair of the sampled co-supplier graph.
@@ -1504,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_assortativity": q_g_assortativity,
         "g_modularity": q_g_modularity,
         "g_linkpred": q_g_linkpred,
+        "g_butterflies": q_g_butterflies,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -1569,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "g_assortativity": _ASSORT_SQL,
         "g_modularity": _modularity_sql(),
         "g_linkpred": _LINKPRED_SQL,
+        "g_butterflies": _BUTTERFLY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

@@ -193,6 +193,32 @@ def test_link_prediction_zero_overlap_pair(spark):
     )
 
 
+def test_butterflies_bipartite(spark):
+    from itertools import combinations
+
+    from deeprank_spark.operators.cohesion import butterflies_bipartite
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(12), 100 + rng.randrange(9)) for _ in range(60)})
+    # pure-python oracle: per right-pair shared-left counts -> C(k,2)
+    left_of = {}
+    for u, v in edges:
+        left_of.setdefault(v, set()).add(u)
+    exp = {v: 0 for v in left_of}
+    for v1, v2 in combinations(sorted(left_of), 2):
+        k = len(left_of[v1] & left_of[v2])
+        c = k * (k - 1) // 2
+        exp[v1] += c
+        exp[v2] += c
+    sdf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["butterflies"]
+        for r in butterflies_bipartite(sdf).collect()
+    }
+    assert got == exp
+    assert sum(exp.values()) > 0  # fixture actually contains butterflies
+
+
 def test_core_numbers_fixed_rounds(spark):
     edges = FIXTURES["gnm"]
     g = nx.Graph(edges)
