@@ -417,6 +417,35 @@ def q_g_corenum(spark, sf_dir):
     )
 
 
+def q_g_summary(spark, sf_dir):
+    """One-row structural summary of the bipartite graph (A8 'graph
+    size' generalized: vertices, edges, density, max/avg degree)."""
+    from deeprank_spark.operators.cohesion import graph_summary
+
+    out = graph_summary(_bipartite_edges(spark, sf_dir))
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        F.round("density", 8).alias("density"),
+        "max_degree",
+        F.round("avg_degree", 8).alias("avg_degree"),
+    )
+
+
+_SUMMARY_SQL = (
+    f"WITH e AS ({_EDGES_SQL}), "
+    "und AS (SELECT src AS u, dst AS v FROM e), "
+    "deg AS (SELECT id, COUNT(*) AS deg FROM ("
+    "  SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices, "
+    "CAST(SUM(deg) / 2 AS BIGINT) AS n_edges, "
+    "ROUND(SUM(deg) / CAST(COUNT(*) * (COUNT(*) - 1) AS DOUBLE), 8) AS density, "
+    "CAST(MAX(deg) AS BIGINT) AS max_degree, "
+    "ROUND(SUM(deg) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_degree "
+    "FROM deg"
+)
+
+
 def q_g_butterflies(spark, sf_dir):
     """Per-supplier butterfly (4-cycle) counts on the bipartite graph —
     the cohesion primitive that exists where triangles cannot (wedge
@@ -1529,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_modularity": q_g_modularity,
         "g_linkpred": q_g_linkpred,
         "g_butterflies": q_g_butterflies,
+        "g_summary": q_g_summary,
         # dedup / text / similarity
         "dedup_exact": q_dedup_exact,
         "minhash_sig": q_minhash_sig,
@@ -1595,6 +1625,7 @@ def oracle_sql() -> dict[str, str]:
         "g_modularity": _modularity_sql(),
         "g_linkpred": _LINKPRED_SQL,
         "g_butterflies": _BUTTERFLY_SQL,
+        "g_summary": _SUMMARY_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_sig": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_LSH_SQL,

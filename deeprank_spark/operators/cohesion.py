@@ -150,6 +150,31 @@ def kcore_distributed(
     return deg.where(F.col("core_deg") >= k)
 
 
+def graph_summary(edges: DataFrame, id_cols: tuple = ("src", "dst")) -> DataFrame:
+    """One-row structural summary of the undirected simple graph:
+    (n_vertices, n_edges, density, max_degree, avg_degree) — the header
+    numbers of any graph report (A8 "graph size" generalized). One
+    degree aggregation + one global aggregate; everything partial-combines.
+    """
+    und = _undirected(edges, id_cols)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        (
+            F.sum("deg")
+            / (F.count("*") * (F.count("*") - F.lit(1))).cast("double")
+        ).alias("density"),
+        F.max("deg").cast("long").alias("max_degree"),
+        (F.sum("deg") / F.count("*").cast("double")).alias("avg_degree"),
+    )
+
+
 def butterflies_bipartite(
     edges: DataFrame, id_cols: tuple = ("src", "dst")
 ) -> DataFrame:

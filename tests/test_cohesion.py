@@ -193,6 +193,21 @@ def test_link_prediction_zero_overlap_pair(spark):
     )
 
 
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_graph_summary(spark, name):
+    from deeprank_spark.operators.cohesion import graph_summary
+
+    edges = FIXTURES[name]
+    g = nx.Graph(edges)
+    row = graph_summary(_sdf(spark, edges)).collect()[0]
+    degs = [d for _, d in g.degree()]
+    assert row["n_vertices"] == g.number_of_nodes()
+    assert row["n_edges"] == g.number_of_edges()
+    assert abs(row["density"] - nx.density(g)) < 1e-12
+    assert row["max_degree"] == max(degs)
+    assert abs(row["avg_degree"] - sum(degs) / len(degs)) < 1e-12
+
+
 def test_butterflies_bipartite(spark):
     from itertools import combinations
 
