@@ -47,16 +47,20 @@ def digest(transcripts: DataFrame, params: CraftParams | None = None) -> Digest:
     parsed = parse_transcripts(transcripts)
     # the parse is the expensive stage — materialize it once for the
     # multiple downstream consumers (edge gen, svo, extraction joins).
-    # The count() is load-bearing: a lazy persist referenced from several
-    # branches of ONE downstream action recomputes the parse per branch
-    # (parallel stages race the cache), tripling the flagship wall time.
-    parsed = parsed.persist()
-    parsed.count()
+    # localCheckpoint (eager) rather than persist+count: it additionally
+    # TRUNCATES LINEAGE, so every downstream action re-analyzes a shallow
+    # plan instead of the full parse+cascade expression tree — Catalyst
+    # analysis of the deep plan costs 1-4 s per action, and the extraction/
+    # query layers fire a dozen actions over these frames. On a real
+    # cluster the same seam writes a reliable checkpoint (parquet state
+    # table, as the superstep kernels do); locally executor storage is fine.
+    parsed = parsed.localCheckpoint(eager=True)
     toks = tokens_table(parsed)
-    w2l = w2l_sentence(toks).persist()
-    w2l.count()
+    w2l = w2l_sentence(toks).localCheckpoint(eager=True)
     nouns = noun_set_table(toks)
-    multi = multi_edges_table(parsed, w2l, nouns, p)
+    # the §2.3 rule cascade is the deepest expression tree in the engine —
+    # checkpoint its output so joins/extraction analyze a flat scan
+    multi = multi_edges_table(parsed, w2l, nouns, p).localCheckpoint(eager=True)
     ed = edges_table(multi)
     ged = graph_edges(ed)
     verts = vertices_table(ged)
@@ -73,11 +77,18 @@ def ranks(d: Digest, params: CraftParams | None = None, pers: DataFrame | None =
 
 
 def flagship(
-    transcripts: DataFrame, params: CraftParams | None = None
+    transcripts: DataFrame | None = None,
+    params: CraftParams | None = None,
+    d: Digest | None = None,
 ) -> dict[str, DataFrame]:
-    """keywords/summary/relations for every conversation."""
+    """keywords/summary/relations for every conversation.
+
+    Pass a pre-built `d` (Digest) to reuse an already-materialized parse —
+    the digest is the expensive stage, and callers that need several
+    flagship outputs over the same corpus should digest once."""
     p = params or CraftParams()
-    d = digest(transcripts, p)
+    if d is None:
+        d = digest(transcripts, p)
     r = ranks(d, p).persist()
     r_gated = r
     if p.giant_comp:

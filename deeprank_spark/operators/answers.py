@@ -63,8 +63,12 @@ def four_matcher_answers(
         F.split_part(F.col("conv_id"), F.lit("\x1f"), F.lit(2)).cast("int").alias("q_idx"),
         "words", "lemmas", "tags", "deps",
     )
-    pers = personalization_vectors(queries, p)
-    rr = rerank_for_queries(gedges, pers, p)
+    pers = personalization_vectors(queries, p, qged=_qged).localCheckpoint(eager=True)
+    # rr feeds the sim expansion, the sentence scorer, and (via answer_votes)
+    # the final window — checkpoint so the reranked per-(conv, query)
+    # PageRank kernel runs once and downstream plans stay shallow (same
+    # lineage-truncation seam as engine.digest)
+    rr = rerank_for_queries(gedges, pers, p).localCheckpoint(eager=True)
 
     # expanded_query_rank analog (qpro.pro:210-215 + :278-311): query word
     # ranks, plus taxonomy-related lemmas at the same rank (joint-occurrence

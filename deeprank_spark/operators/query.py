@@ -80,23 +80,34 @@ def expand_quest_memory(queries: DataFrame, talk: TalkParams | None = None) -> D
 
 def _digest_queries(queries: DataFrame, params: CraftParams):
     """queries(conv_id, q_idx, text) -> (qparsed, q multi_edges, q gedges)
-    with qkey = conv_id + sep + q_idx as the grouping conversation id."""
+    with qkey = conv_id + sep + q_idx as the grouping conversation id.
+
+    The parse and the edge cascade are each consumed by several downstream
+    branches (personalization, shared tokens, q_edges, q_svo); eager
+    localCheckpoint so the Arrow parse UDF runs once AND downstream actions
+    analyze shallow plans (same lineage-truncation seam as engine.digest)."""
     q = queries.select(
         F.concat_ws(_QSEP, "conv_id", F.col("q_idx").cast("string")).alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         "text",
     )
-    qparsed = parse_transcripts(q)
-    qmulti = multi_edges_table(qparsed, params=params)
+    qparsed = parse_transcripts(q).localCheckpoint(eager=True)
+    qmulti = multi_edges_table(qparsed, params=params).localCheckpoint(eager=True)
     return qparsed, qmulti, graph_edges(edges_table(qmulti))
 
 
 def personalization_vectors(
-    queries: DataFrame, params: CraftParams | None = None
+    queries: DataFrame,
+    params: CraftParams | None = None,
+    qged: DataFrame | None = None,
 ) -> DataFrame:
-    """-> (conv_id, q_idx, kind, key, weight): query word-node ranks."""
+    """-> (conv_id, q_idx, kind, key, weight): query word-node ranks.
+
+    Pass `qged` (pre-digested query graph edges) when the caller already ran
+    _digest_queries — avoids digesting the query texts a second time."""
     p = params or CraftParams()
-    _, _, qged = _digest_queries(queries, p)
+    if qged is None:
+        _, _, qged = _digest_queries(queries, p)
     qranks = pagerank_per_conv(qged, alpha=p.damping, tol=p.tol, max_iter=p.max_iter)
     pers = qranks.where(
         (F.col("kind") == "W")
@@ -170,9 +181,11 @@ def answer_queries(
     t = talk or TalkParams()
 
     queries = expand_quest_memory(queries, t)
-    _, qmulti, _ = _digest_queries(queries, p)
-    pers = personalization_vectors(queries, p)
-    rr = rerank_for_queries(gedges, pers, p)
+    _, qmulti, qged = _digest_queries(queries, p)
+    pers = personalization_vectors(queries, p, qged=qged).localCheckpoint(eager=True)
+    # the reranked graph feeds both the answer window and the summary
+    # window — checkpoint so the per-(conv, query) PageRank runs once
+    rr = rerank_for_queries(gedges, pers, p).localCheckpoint(eager=True)
     # length adjustment needs (conv_id) keyed sentence lengths; rr carries q_idx
     lens = sentence_lengths(parsed)
     avg = lens.groupBy("conv_id").agg(F.avg("sent_len").alias("avg_len"))
@@ -219,7 +232,7 @@ def answer_queries(
             F.concat_ws(" ", "words").alias("sent_text"), "sent_id",
         ),
         ["conv_id", "key"],
-    ).where(is_clean_sent_col(F.col("lemmas")))
+    ).where(is_clean_sent_col(F.col("lemmas"))).persist()
     cands = sents.join(good, ["conv_id", "q_idx", "sent_id"], "leftsemi")
     # rank ties compare at the published 8-decimal precision (see
     # extract._topk) so engine and differential oracles order identically

@@ -703,7 +703,7 @@ FROM topsvo WHERE rn <= {k}
     )
 
 
-def dr_svo_extended_sql(doc_mod: int = 20, k: int = 10) -> str:
+def dr_svo_extended_sql(doc_mod: int = 50, k: int = 10) -> str:
     """extend_svos_with_taxonomy (extract.py:172-221): each endpoint of the
     top-k SVOs joined to the shipped taxonomy dimension (inlined VALUES of
     functions/taxonomy.taxonomy_rows — same constants, no drift), emitted
@@ -779,7 +779,7 @@ SELECT conv_id, src_word, dst_word, ROUND(rank, 8) AS rank FROM (
 """
 
 
-def dr_query_answers_sql(doc_mod: int = 25, max_answers: int = 3, sent_count: int = 5) -> str:
+def dr_query_answers_sql(doc_mod: int = 50, max_answers: int = 3, sent_count: int = 5) -> str:
     """Entry-point-C oracle (operators/query.py:answer_queries): the parse
     pipeline instantiated TWICE in one statement — documents (prefix '')
     and query texts (prefix 'q_', first 8 tokens of each document, the
