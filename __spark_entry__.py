@@ -188,6 +188,56 @@ def q_g_components(spark, sf_dir):
     return components_distributed(_bipartite_edges(spark, sf_dir))
 
 
+def _directed_cyclic_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph with nontrivial SCCs: customer -> supplier edges for
+    every 7th order, supplier -> customer BACK-edges for every 21st order —
+    mutual links form one giant SCC plus hundreds of singletons (the
+    realistic reachability shape: a dense core + an acyclic fringe)."""
+    o = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    j = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+    fwd = j.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_custkey").alias("src"), (F.col("l_suppkey") + 1000000).alias("dst")
+    )
+    bwd = j.where(F.col("o_orderkey") % 21 == 0).select(
+        (F.col("l_suppkey") + 1000000).alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return fwd.union(bwd).distinct()
+
+
+def q_g_scc(spark, sf_dir):
+    """Strongly connected components (reference gate parity kernel,
+    deepRank.py:398-406): FW-BW coloring with trim on the superstep
+    skeleton (operators/scc.py); also pytest-verified vs
+    nx.strongly_connected_components."""
+    from deeprank_spark.operators.scc import scc_distributed
+
+    return scc_distributed(_directed_cyclic_edges(spark, sf_dir))
+
+
+_SCC_SQL = (
+    "WITH RECURSIVE de AS ("
+    "  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst"
+    "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 7 = 0"
+    "  UNION"
+    "  SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst"
+    "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 21 = 0"
+    "), "
+    "verts AS (SELECT src AS id FROM de UNION SELECT dst FROM de), "
+    "reach(a, b) AS ("
+    "  SELECT src, dst FROM de"
+    "  UNION"
+    "  SELECT r.a, d.dst FROM reach r JOIN de d ON r.b = d.src"
+    ") "
+    "SELECT id, MIN(m) AS component FROM ("
+    "  SELECT r1.a AS id, r1.b AS m FROM reach r1 "
+    "  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a"
+    "  UNION ALL"
+    "  SELECT id, id FROM verts"
+    ") GROUP BY id"
+)
+
+
 _CC_SQL = (
     f"WITH RECURSIVE e AS ({_EDGES_SQL}), "
     "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), "
@@ -1567,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree": q_g_degree,
         "g_pagerank3": q_g_pagerank,
         "g_components": q_g_components,
+        "g_scc": q_g_scc,
         "g_triangles": q_g_triangles,
         "g_lpa2": q_g_lpa,
         "g_pagerank_full": q_g_pagerank_full,
@@ -1635,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank3": _pagerank_sql(),
         "g_pagerank_full": _pagerank_full_sql(),
         "g_components": _CC_SQL,
+        "g_scc": _SCC_SQL,
         "g_triangles": _TRI_SQL,
         "g_lpa2": _lpa_sql(),
         "g_clustering": _CLUSTERING_SQL,

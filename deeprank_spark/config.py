@@ -21,6 +21,11 @@ class CraftParams:
 
     all_recs: bool = True      # emit word -recommends-> sentence edges
     giant_comp: bool = False   # restrict extraction to giant component
+    # gate on STRONGLY connected components (exact reference parity:
+    # deepRank.py:398-406 uses nx.strongly_connected_components). False =
+    # weak CCs, the round-1/2 documented divergence kept as the default so
+    # existing oracles/behavior are unchanged.
+    giant_comp_scc: bool = False
     noun_defs: bool = True     # emit noun -first_in-> sentence edges
     noun_self: bool = False    # emit noun self-loops
 

@@ -93,13 +93,20 @@ def flagship(
     r_gated = r
     if p.giant_comp:
         # maxcc gate applies to bestNodes-derived outputs (keywords,
-        # summary) only — bestSVOs reads raw ranks (deepRank.py:563-599)
-        from .operators.components import components_per_conv
+        # summary) only — bestSVOs reads raw ranks (deepRank.py:563-599).
+        # giant_comp_scc=True gates on STRONG components — exact reference
+        # parity with nx.strongly_connected_components (deepRank.py:398-406);
+        # the default weak-CC gate is the documented round-1 divergence.
         from .operators.extract import giant_component_gate
 
+        if p.giant_comp_scc:
+            from .operators.scc import scc_per_conv as _comps
+        else:
+            from .operators.components import components_per_conv as _comps
+
         # persisted like r above: keywords AND summary consume the gated
-        # frame, and the per-conv union-find + semi-join shouldn't run twice
-        r_gated = giant_component_gate(r, components_per_conv(d.gedges)).persist()
+        # frame, and the per-conv kernel + semi-join shouldn't run twice
+        r_gated = giant_component_gate(r, _comps(d.gedges)).persist()
     return {
         "keywords": keywords(r_gated, d.noun_set, params=p),
         "summary": summary(r_gated, d.parsed, params=p).orderBy("conv_id", "turn_idx"),

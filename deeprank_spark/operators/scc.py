@@ -1,0 +1,292 @@
+"""Strongly connected components.
+
+Reference anchor: the giant-component gate in the reference uses
+`nx.strongly_connected_components` (/root/reference/textcrafts/deepRank.py:
+398-406). Round 2 shipped weakly-CC only (documented delta, SURVEY §2.9);
+this module closes that delta:
+
+- `scc_per_conv` — exact SCCs per conversation graph: iterative Tarjan
+  inside `applyInPandas` (same one-shuffle shape as
+  components.components_per_conv). Component label = min node token of the
+  SCC, so outputs are directly comparable with the networkx oracle.
+- `scc_distributed` — one giant directed graph, forward-backward coloring
+  with trimming (Orzan-style coloring / FW-BW of Hong et al., both public):
+
+    outer round:
+      1. TRIM to fixpoint: a vertex with no in-edges or no out-edges inside
+         the remaining subgraph is a singleton SCC — peel immediately.
+         Real link graphs are mostly acyclic, so trimming usually removes
+         the bulk of the vertex set in the first round.
+      2. COLOR: min-label propagation along edge direction to fixpoint,
+         with pointer jumping — color(v) = min vertex id that reaches v.
+         Jumping is sound here exactly as in weak CC: if u reaches v and
+         w reaches u then w reaches v, so color'(v) = color(color(v)) only
+         ever tightens within the reaching set.
+      3. BACKWARD: every color class contains its root c (nothing smaller
+         reaches c, and c = min member of SCC(c) — see proof note below).
+         Mark the roots and propagate "reaches root" along REVERSED edges
+         restricted to the same color, to fixpoint. Marked vertices are in
+         FWD(c) ∩ BWD(c) = SCC(c): peel every class's root SCC at once.
+      4. Remove peeled vertices, keep only edges with both ends remaining.
+
+  Root-is-min proof note: color(v)=c means c reaches v and no smaller
+  vertex reaches v. For any m in SCC(c) with m < c: m reaches c, so
+  color(c) <= m < c, contradicting color(c)=c. Hence the emitted component
+  label is the min member id — identical to the per-conv/networkx label.
+
+Scale notes (100 TB shape): every fixpoint loop checkpoints eagerly per
+step with strong refs and periodic parquet resets (the `_ResetDir` lineage
+discipline measured in pagerank.py); all shuffles are on the vertex id;
+no collect, no per-row Python. Worst case (a long path of singleton SCCs)
+is bounded by trimming, which peels path endpoints in O(path length / 1)
+trim passes, each a cheap degree semi-join on a shrinking edge set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import PER_CONV_SCHEMA, _ResetDir
+
+
+def _tarjan_components(n: int, adj_heads: np.ndarray, adj_next: np.ndarray,
+                       vert_head: np.ndarray) -> np.ndarray:
+    """Iterative Tarjan over a CSR-ish linked adjacency; returns for each
+    vertex the min vertex index of its SCC."""
+    UNVISITED = -1
+    index_of = np.full(n, UNVISITED, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp_min = np.arange(n, dtype=np.int64)
+    stack: list[int] = []
+    next_index = 0
+    for root in range(n):
+        if index_of[root] != UNVISITED:
+            continue
+        # explicit DFS stack of (vertex, pointer into its adjacency list)
+        work = [(root, vert_head[root])]
+        index_of[root] = low[root] = next_index
+        next_index += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ptr = work[-1]
+            if ptr != -1:
+                w = int(adj_heads[ptr])
+                work[-1] = (v, int(adj_next[ptr]))
+                if index_of[w] == UNVISITED:
+                    index_of[w] = low[w] = next_index
+                    next_index += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, int(vert_head[w])))
+                elif on_stack[w]:
+                    if index_of[w] < low[v]:
+                        low[v] = index_of[w]
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    if low[v] < low[pv]:
+                        low[pv] = low[v]
+                if low[v] == index_of[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        members.append(w)
+                        if w == v:
+                            break
+                    m = min(members)
+                    for w in members:
+                        comp_min[w] = m
+    return comp_min
+
+
+def scc_per_conv(gedges: DataFrame) -> DataFrame:
+    """(conv_id, kind, key, component) with component = min node token
+    (kind+key) of the STRONGLY connected component. Exact
+    nx.strongly_connected_components semantics on each conversation's
+    directed graph."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"conv_id": [], "kind": [], "key": [], "component": []})
+        conv = pdf["conv_id"].iloc[0]
+        skey = pdf["src_kind"].astype(str) + pdf["src"].astype(str)
+        dkey = pdf["dst_kind"].astype(str) + pdf["dst"].astype(str)
+        nodes, inv = np.unique(
+            np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
+        )
+        m = len(pdf)
+        n = len(nodes)
+        src, dst = inv[:m], inv[m:]
+        # linked adjacency (avoids per-vertex python lists)
+        vert_head = np.full(n, -1, dtype=np.int64)
+        adj_next = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            adj_next[i] = vert_head[src[i]]
+            vert_head[src[i]] = i
+        comp_min = _tarjan_components(n, dst.astype(np.int64), adj_next, vert_head)
+        comp_token = nodes[comp_min]
+        kinds = [s[0] for s in nodes]
+        keys = [s[1:] for s in nodes]
+        return pd.DataFrame(
+            {"conv_id": conv, "kind": kinds, "key": keys, "component": comp_token}
+        )
+
+    return gedges.groupBy("conv_id").applyInPandas(run, PER_CONV_SCHEMA)
+
+
+def scc_distributed(
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_outer: int = 50,
+    max_inner: int = 100,
+) -> DataFrame:
+    """FW-BW coloring SCC on one giant directed graph.
+
+    Returns (id, component) with component = min vertex id of the SCC.
+    """
+    src, dst = id_cols
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done_parts: list[DataFrame] = []
+    rdir = _ResetDir("scc")
+    rem_v, rem_e = verts, e
+    n_rem = rem_v.count()
+    for outer in range(max_outer):
+        # --- 1. trim singleton SCCs (no in- or no out-edges) to fixpoint ---
+        for _ in range(max_inner):
+            has_out = rem_e.select(F.col("a").alias("id")).distinct()
+            has_in = rem_e.select(F.col("b").alias("id")).distinct()
+            core = rem_v.join(has_out, "id", "leftsemi").join(
+                has_in, "id", "leftsemi"
+            ).localCheckpoint(eager=True)
+            n_core = core.count()
+            if n_core == n_rem:
+                break
+            trimmed = rem_v.join(core, "id", "leftanti").select(
+                "id", F.col("id").alias("component")
+            )
+            done_parts.append(trimmed.localCheckpoint(eager=True))
+            rem_v, n_rem = core, n_core
+            rem_e = (
+                rem_e.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
+                .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
+                .localCheckpoint(eager=True)
+            )
+        if n_rem == 0:
+            break
+        # --- 2. color: min-label forward propagation with pointer jumping ---
+        colors = rem_v.select("id", F.col("id").alias("color"))
+        colors = colors.localCheckpoint(eager=True)
+        kept = []
+        for it in range(max_inner):
+            pred_min = (
+                colors.join(rem_e, colors["id"] == rem_e["a"])
+                .groupBy(rem_e["b"].alias("id"))
+                .agg(F.min("color").alias("pmin"))
+            )
+            m = colors.join(pred_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("color"), F.coalesce(F.col("pmin"), F.col("color"))
+                ).alias("m"),
+                F.col("color").alias("prev"),
+            )
+            # pointer jump (sound: reaching-set transitivity, see module doc)
+            jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
+            stepped = m.join(jump, m["m"] == jump["jid"]).select(
+                "id",
+                F.col("jlbl").alias("color"),
+                (F.col("jlbl") != F.col("prev")).alias("chg"),
+            )
+            new = stepped.localCheckpoint(eager=True)
+            changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+            kept.append(new)
+            colors = new.select("id", "color")
+            if (it + 1) % 5 == 0:
+                colors = rdir.reset(colors, outer * 1000 + it)
+                kept.clear()
+            if changed == 0:
+                break
+        # --- 3. backward reachability to the class root, within class ---
+        reached = colors.select(
+            "id", "color", (F.col("id") == F.col("color")).alias("r")
+        ).localCheckpoint(eager=True)
+        kept = [reached]
+        for it in range(max_inner):
+            # u is reached if some out-neighbor w (u->w) in the SAME color
+            # class is reached
+            r_dst = reached.where(F.col("r")).select(
+                F.col("id").alias("b"), F.col("color").alias("bcol")
+            )
+            new_r = (
+                rem_e.join(r_dst, "b")
+                .select(F.col("a").alias("id"), F.col("bcol").alias("acol"))
+                .distinct()
+            )
+            stepped = (
+                reached.join(
+                    new_r,
+                    (reached["id"] == new_r["id"]) & (reached["color"] == new_r["acol"]),
+                    "left",
+                )
+                .select(
+                    reached["id"],
+                    reached["color"],
+                    (F.col("r") | new_r["acol"].isNotNull()).alias("nr"),
+                    F.col("r").alias("prev"),
+                )
+            )
+            new = stepped.select(
+                "id", "color", F.col("nr").alias("r"),
+                (F.col("nr") != F.col("prev")).alias("chg"),
+            ).localCheckpoint(eager=True)
+            changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+            kept.append(new)
+            reached = new.select("id", "color", "r")
+            if (it + 1) % 5 == 0:
+                reached = rdir.reset(reached, outer * 1000 + 500 + it)
+                kept.clear()
+            if changed == 0:
+                break
+        scc_now = reached.where(F.col("r")).select(
+            "id", F.col("color").alias("component")
+        )
+        done_parts.append(scc_now.localCheckpoint(eager=True))
+        rem_v = reached.where(~F.col("r")).select("id").localCheckpoint(eager=True)
+        n_rem = rem_v.count()
+        if n_rem == 0:
+            break
+        rem_e = (
+            rem_e.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
+            .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    # any leftovers past max_outer (shouldn't happen) labeled as singletons
+    if n_rem > 0:
+        done_parts.append(
+            rem_v.select("id", F.col("id").alias("component")).localCheckpoint(
+                eager=True
+            )
+        )
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.union(part)
+    return rdir.finalize(out)

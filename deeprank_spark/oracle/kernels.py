@@ -45,6 +45,21 @@ def components_nx(edges, nodes=()) -> dict:
     return out
 
 
+def scc_nx(edges, nodes=()) -> dict:
+    """node -> SCC id (= min node key in the strongly connected component),
+    matching the reference's nx.strongly_connected_components gate
+    (deepRank.py:398-406)."""
+    g = nx.DiGraph()
+    g.add_nodes_from(nodes)
+    g.add_edges_from(edges)
+    out = {}
+    for comp in nx.strongly_connected_components(g):
+        label = min(comp)
+        for n in comp:
+            out[n] = label
+    return out
+
+
 def lpa_sync(edges, nodes=(), max_iter: int = 20) -> dict:
     """Synchronous label propagation, deterministic spec:
 

@@ -208,15 +208,19 @@ def _node_token(n) -> str:
     return "S%s" % n if isinstance(n, int) else "W" + str(n)
 
 
-def giant_comp_nodes(dg: DocGraph):
+def giant_comp_nodes(dg: DocGraph, scc: bool = False):
     """maxcc (deepRank.py:398-406): None unless the graph has 1-3
-    components, else the largest one. Weak CCs (engine divergence,
-    SURVEY §2.9); size ties break on the smaller component label (min
-    node token), matching extract.giant_component_gate."""
+    components, else the largest one. scc=False: weak CCs (engine
+    divergence, SURVEY §2.9); scc=True: nx.strongly_connected_components,
+    the reference's exact gate. Size ties break on the smaller component
+    label (min node token), matching extract.giant_component_gate."""
     g = nx_graph(dg)
     if g.number_of_nodes() == 0:
         return None
-    ccs = list(nx.connected_components(g.to_undirected()))
+    if scc:
+        ccs = list(nx.strongly_connected_components(g))
+    else:
+        ccs = list(nx.connected_components(g.to_undirected()))
     if len(ccs) >= 4:
         return None
     return min(ccs, key=lambda c: (-len(c), min(_node_token(n) for n in c)))

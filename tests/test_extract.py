@@ -147,3 +147,43 @@ def test_giant_comp_gate_matches_oracle(spark):
     kw0 = {c: [w for _, w in sorted(v)] for c, v in kw0.items()}
     for conv, (dg, ranks) in _oracle_per_conv(pdf, CraftParams()).items():
         assert kw0.get(conv, []) == otg.best_words(dg, ranks, CraftParams().word_count)
+
+
+def test_giant_comp_scc_gate_matches_oracle(spark):
+    """CraftParams(giant_comp=True, giant_comp_scc=True): exact reference
+    parity — the gate restricts to the giant STRONGLY connected component
+    when a conversation has < 4 SCCs (deepRank.py:398-406 uses
+    nx.strongly_connected_components)."""
+    import random as _random
+
+    import pandas as pd
+
+    from deeprank_spark.transcripts import _EPOCH, _rows, small_transcripts
+
+    rng = _random.Random(11)
+    rows = []
+    # single short sentences -> few nodes, about/first_in cycles -> few SCCs
+    rows += _rows("s_one", ["Cats sit on mats."], _EPOCH, rng)
+    rows += _rows("s_two", ["Dogs bark loudly.", "Dogs eat bones."], _EPOCH, rng)
+    pdf = pd.concat([pd.DataFrame(rows), small_transcripts(n_convs=4)], ignore_index=True)
+    params = CraftParams(giant_comp=True, giant_comp_scc=True)
+    out = flagship(transcripts_sdf(spark, pdf), params)
+
+    kw = {}
+    for r in out["keywords"].collect():
+        kw.setdefault(r["conv_id"], []).append((-r["rank"], r["keyword"]))
+    kw = {c: [w for _, w in sorted(v)] for c, v in kw.items()}
+    summ = {}
+    for r in out["summary"].collect():
+        summ.setdefault(r["conv_id"], []).append(r["turn_idx"])
+
+    gate_seen_active = False
+    for conv, (dg, ranks) in _oracle_per_conv(pdf, params).items():
+        maxcc = otg.giant_comp_nodes(dg, scc=True)
+        if maxcc is not None and len(maxcc) < len(otg.nx_graph(dg)):
+            gate_seen_active = True
+        exp_kw = otg.best_words(dg, ranks, params.word_count, maxcc=maxcc)
+        assert kw.get(conv, []) == exp_kw, (conv, kw.get(conv, []), exp_kw)
+        exp_summary = otg.best_sentences(dg, ranks, params.sent_count, maxcc=maxcc)
+        assert summ.get(conv, []) == exp_summary, conv
+    assert gate_seen_active, "fixture never activated the SCC gate"

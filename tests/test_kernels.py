@@ -114,3 +114,67 @@ def test_components_path_graph_logarithmic_rounds(spark):
     got = {r["id"]: r["component"] for r in components_distributed(e, max_iter=cap).collect()}
     assert len(got) == n
     assert set(got.values()) == {0}
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (round-3: closes the SURVEY §2.9 delta)
+# ---------------------------------------------------------------------------
+
+from deeprank_spark.oracle.kernels import scc_nx
+from deeprank_spark.operators.scc import scc_distributed, scc_per_conv
+
+
+def test_scc_per_conv(spark):
+    pdf = small_transcripts(n_convs=8)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    got = {}
+    for r in scc_per_conv(d.gedges).collect():
+        got[(r["conv_id"], r["kind"] + r["key"])] = r["component"]
+    for conv, edges in _conv_graphs(pdf).items():
+        exp = scc_nx(edges)
+        for node, comp in exp.items():
+            assert got[(conv, node)] == comp, (conv, node)
+
+
+def _directed_random(seed, n=40, m=120):
+    rng = random.Random(seed)
+    return sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+def test_scc_distributed_random(spark):
+    # random directed graph: mix of nontrivial SCCs and singletons
+    edges = _directed_random(7)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
+    exp = scc_nx(edges)
+    # oracle covers every vertex incident to an edge (kernel's vertex set)
+    exp = {k: v for k, v in exp.items() if any(k in t for t in edges)}
+    assert got == exp
+
+
+def test_scc_distributed_cycles_and_dag(spark):
+    # two disjoint cycles bridged by DAG edges + a pure path (all singleton)
+    edges = (
+        [(1, 2), (2, 3), (3, 1)]          # SCC {1,2,3}
+        + [(10, 11), (11, 12), (12, 13), (13, 10)]  # SCC {10..13}
+        + [(3, 10), (13, 20), (20, 21), (21, 22)]   # bridges + path
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
+    exp = scc_nx(edges)
+    assert got == exp
+
+
+def test_scc_two_mutual_cliques(spark):
+    # bidirectional clique pairs -> one SCC each; one-way bridge keeps them apart
+    edges = []
+    for grp in ([0, 1, 2, 3], [100, 101, 102]):
+        for a in grp:
+            for b in grp:
+                if a != b:
+                    edges.append((a, b))
+    edges.append((3, 100))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
+    exp = scc_nx(edges)
+    assert got == exp
