@@ -545,8 +545,13 @@ _LINKPRED_SQL = (
     f"WITH und AS ({_COSUP_SAMPLED_SQL}), "
     "sym AS (SELECT u AS s, v AS d FROM und UNION ALL SELECT v, u FROM und), "
     "deg AS (SELECT s AS id, COUNT(*) AS deg FROM sym GROUP BY s), "
+    # mirror of two_hop_candidates' default per-center fan-out cap (1024,
+    # smallest neighbor ids kept) — exact whenever max degree <= cap
+    "symc AS (SELECT s, d FROM ("
+    "  SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s ORDER BY d) AS rn FROM sym"
+    ") WHERE rn <= 1024), "
     "cand AS (SELECT DISTINCT n1.d AS u, n2.d AS v "
-    "         FROM sym n1 JOIN sym n2 ON n1.s = n2.s AND n1.d < n2.d "
+    "         FROM symc n1 JOIN symc n2 ON n1.s = n2.s AND n1.d < n2.d "
     "         WHERE NOT EXISTS (SELECT 1 FROM und "
     "                           WHERE und.u = n1.d AND und.v = n2.d)), "
     "cm AS (SELECT c.u, c.v, CAST(COUNT(*) AS BIGINT) AS cn, "

@@ -188,39 +188,69 @@ def butterflies_bipartite(
     neighbors and contributes C(k,2) there; per-vertex counts sum the
     pair counts at both endpoints, and the global count is their sum/2.
 
-    Scale shape: one wedge self-join keyed on the LEFT vertex (choose
-    the side with the smaller sum of squared degrees as the wedge
-    center — here the caller picks by orienting id_cols), one
-    partial-combine groupBy on the right pair, one groupBy on the
-    vertex. A hub left vertex with degree d emits C(d,2) wedges — the
-    same bound as any wedge algorithm; at 100 TB, hub mitigation is
-    degree-capped sampling or per-pair sketching, which changes the
-    semantics and so is not the default here.
+    Hub-safe EXACT algorithm — vertex-priority wedge direction (the
+    BFC-VP idea of Sanei-Mehri et al. 2018, extended with per-vertex
+    credits): every butterfly is enumerated exactly once, at its
+    HIGHEST-priority corner x (priority = (degree, vertex), a total
+    order). Wedges x -> c -> w are generated only when p(c) < p(x) and
+    p(w) < p(x), so a degree-d hub no longer emits C(d,2) wedge rows as
+    a wedge CENTER — a wedge is enumerated from its max-priority
+    endpoint, and the total wedge count is bounded by
+    O(sum over edges (u,v) of min(deg u, deg v)) instead of
+    O(sum of C(deg, 2)) (same bound as degree-oriented triangle
+    counting). Per-vertex credits per (x, w) group with k qualifying
+    common centers: x and w each join C(k,2) butterflies; every center
+    joins (k-1). Semantics identical to the naive right-pair formula
+    (the DuckDB oracle keeps that independent formulation).
+
+    Left and right id spaces may overlap: vertices are tagged with a
+    side bit internally and only right-side ids are emitted.
     """
     src, dst = id_cols
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    a = e.select("u", F.col("v").alias("v1"))
-    b = e.select("u", F.col("v").alias("v2"))
-    pair_k = (
-        a.join(b, "u")
-        .where(F.col("v1") < F.col("v2"))
-        .groupBy("v1", "v2")
-        .agg(F.count("*").alias("k"))
+    e = edges.select(F.col(src).alias("lu"), F.col(dst).alias("rv")).distinct()
+    ab = e.select(
+        F.struct(F.lit(0).alias("s"), F.col("lu").alias("i")).alias("a"),
+        F.struct(F.lit(1).alias("s"), F.col("rv").alias("i")).alias("b"),
     )
-    pair_bf = pair_k.select(
-        "v1",
-        "v2",
-        (F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("bf"),
+    sym = ab.union(ab.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    # priority = (deg, side, id): struct comparison is lexicographic
+    prio = deg.select(
+        F.col("a").alias("vtx"), F.struct(F.col("deg"), F.col("a")).alias("prio")
     )
-    per_v = (
-        pair_bf.select(F.col("v1").alias("id"), "bf")
-        .union(pair_bf.select(F.col("v2").alias("id"), "bf"))
-        .groupBy("id")
-        .agg(F.sum("bf").alias("butterflies"))
+    e1 = (
+        sym.select(F.col("a").alias("x"), F.col("b").alias("c"))
+        .join(prio.select(F.col("vtx").alias("x"), F.col("prio").alias("px")), "x")
+        .join(prio.select(F.col("vtx").alias("c"), F.col("prio").alias("pc")), "c")
+        .where(F.col("pc") < F.col("px"))
     )
-    verts = e.select(F.col("v").alias("id")).distinct()
-    return verts.join(per_v, "id", "left").select(
-        "id", F.coalesce("butterflies", F.lit(0)).alias("butterflies")
+    e2 = sym.select(F.col("a").alias("c"), F.col("b").alias("w")).join(
+        prio.select(F.col("vtx").alias("w"), F.col("prio").alias("pw")), "w"
+    )
+    wedges = (
+        e1.join(e2, "c")
+        .where((F.col("pw") < F.col("px")) & (F.col("w") != F.col("x")))
+        .select("x", "w", "c")
+    )
+    grp = wedges.groupBy("x", "w").agg(F.count("*").alias("k")).where(F.col("k") >= 2)
+    bf_pair = (F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("bf")
+    endc = grp.select(F.col("x").alias("vtx"), bf_pair).union(
+        grp.select(F.col("w").alias("vtx"), bf_pair)
+    )
+    # centers: re-join the wedge rows to their group size (co-partitioned on
+    # (x, w) with the groupBy above — no extra shuffle shape)
+    ctrc = (
+        wedges.join(grp, ["x", "w"])
+        .groupBy(F.col("c").alias("vtx"))
+        .agg(F.sum(F.col("k") - 1).alias("bf"))
+    )
+    per_v = endc.union(ctrc).groupBy("vtx").agg(F.sum("bf").alias("butterflies"))
+    verts = e.select(
+        F.struct(F.lit(1).alias("s"), F.col("rv").alias("i")).alias("vtx")
+    ).distinct()
+    return verts.join(per_v, "vtx", "left").select(
+        F.col("vtx.i").alias("id"),
+        F.coalesce("butterflies", F.lit(0)).cast("long").alias("butterflies"),
     )
 
 

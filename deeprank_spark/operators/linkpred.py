@@ -15,25 +15,54 @@ collected per vertex, so hub rows stay narrow (a hub appears as many
 rows, spread across partitions, not one giant array).
 
 `two_hop_candidates` generates the standard candidate set (non-adjacent
-pairs sharing >= 1 neighbor) via a wedge self-join; that is O(sum deg^2)
-by nature — at 100 TB feed explicit candidates (e.g., LSH/ANN output or
-per-community pairs) instead.
+pairs sharing >= 1 neighbor) via a wedge self-join. Exact generation is
+O(sum deg^2) by nature, so the DEFAULT path caps per-center fan-out at
+`max_center_degree`: a wedge center with more neighbors contributes only
+its first `max_center_degree` neighbors (deterministic id order) —
+candidate RECALL through hub centers is bounded, never the shuffle. A
+pair sharing any non-hub neighbor is still found through that neighbor.
+At 100 TB feed explicit candidates (LSH/ANN output or per-community
+pairs) for full recall; pass max_center_degree=None for the exact set
+on small graphs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deeprank_spark.operators.cohesion import _sym, _undirected
 
 
 def two_hop_candidates(
-    edges: DataFrame, id_cols: tuple = ("src", "dst")
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_center_degree: int | None = 1024,
 ) -> DataFrame:
-    """Non-adjacent pairs (u < v) with at least one common neighbor."""
+    """Non-adjacent pairs (u < v) with at least one common neighbor.
+
+    max_center_degree bounds the wedge fan-out per center: a degree-d hub
+    emits C(min(d, cap), 2) candidate pairs instead of C(d, 2). The kept
+    neighbors are the cap smallest by vertex id — deterministic and
+    exactly mirrorable in the SQL oracle (ROW_NUMBER over id). Centers at
+    or under the cap are untouched, so results are exact whenever
+    max degree <= cap. (At extreme scale replace the per-hub window with
+    stateless hash-thresholding; the window only sorts over-cap hubs.)
+    """
     und = _undirected(edges, id_cols).cache()
     sym = _sym(und)
+    if max_center_degree is not None:
+        degc = sym.groupBy("s").agg(F.count("*").alias("cdeg"))
+        sym_d = sym.join(degc, "s")
+        small = sym_d.where(F.col("cdeg") <= max_center_degree).select("s", "d")
+        w = Window.partitionBy("s").orderBy("d")
+        big = (
+            sym_d.where(F.col("cdeg") > max_center_degree)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max_center_degree)
+            .select("s", "d")
+        )
+        sym = small.union(big)
     wedges = (
         sym.select(F.col("s").alias("w"), F.col("d").alias("u"))
         .join(sym.select(F.col("s").alias("w"), F.col("d").alias("v")), "w")

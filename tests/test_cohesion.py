@@ -245,3 +245,23 @@ def test_core_numbers_fixed_rounds(spark):
         ).collect()
     }
     assert got == {v: c for v, c in exp.items()}
+
+
+def test_two_hop_candidates_center_cap(spark):
+    """Hub center fan-out is bounded by max_center_degree (deterministic
+    smallest-id neighbors); None keeps the exact set."""
+    from deeprank_spark.operators.linkpred import two_hop_candidates
+
+    # star: hub 0 adjacent to 1..20 (leaves non-adjacent, share hub)
+    edges = [(0, i) for i in range(1, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    exact = two_hop_candidates(e, max_center_degree=None).collect()
+    assert len(exact) == 20 * 19 // 2
+    capped = two_hop_candidates(e, max_center_degree=5).collect()
+    # cap keeps neighbors 1..5 of the hub -> C(5,2) pairs
+    assert sorted((r["u"], r["v"]) for r in capped) == [
+        (u, v) for u in range(1, 6) for v in range(u + 1, 6)
+    ]
+    # under-cap graphs are exact through the default path
+    dflt = two_hop_candidates(e).collect()
+    assert len(dflt) == len(exact)
