@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .components import _ResetDir
+
 
 def _undirected(edges: DataFrame, id_cols: tuple) -> DataFrame:
     """Dedup to canonical undirected simple edges u < v (drops self-loops)."""
@@ -113,6 +115,11 @@ def kcore_distributed(
     """
     und = _undirected(edges, id_cols).localCheckpoint(eager=True)
     kept: list[DataFrame] = [und]
+    # periodic parquet reset + kept.clear(): deep peels (hundreds of
+    # rounds on chain-of-cliques graphs) otherwise accumulate one
+    # checkpointed edge set per round in the block manager (same lineage
+    # discipline as components/pagerank; see _ResetDir)
+    rdir = _ResetDir("kcore")
     fixed = rounds is not None
     limit = rounds if fixed else max_rounds
     prev_m = und.count() if not fixed else -1
@@ -133,6 +140,9 @@ def kcore_distributed(
             .localCheckpoint(eager=True)
         )
         kept.append(und)
+        if r % 5 == 0:
+            und = rdir.reset(und, r)
+            kept.clear()
         if not fixed:
             m = und.count()
             if m == prev_m:
@@ -141,6 +151,7 @@ def kcore_distributed(
     else:
         if not fixed:
             raise RuntimeError(f"kcore: no fixed point within {max_rounds} rounds")
+    und = rdir.finalize(und)
     deg = (
         und.select(F.col("u").alias("id"))
         .union(und.select(F.col("v").alias("id")))
@@ -387,6 +398,7 @@ def core_numbers_distributed(
         F.count("*").cast("long").alias("h")
     ).localCheckpoint(eager=True)
     kept: list[DataFrame] = [state]
+    rdir = _ResetDir("corenum")  # periodic lineage reset, see kcore note
     fixed = rounds is not None
     limit = rounds if fixed else max_rounds
     w = (
@@ -428,9 +440,12 @@ def core_numbers_distributed(
                 break
         else:
             state = new_state
+        if r % 5 == 0:
+            state = rdir.reset(state, r)
+            kept.clear()
     else:
         if not fixed:
             raise RuntimeError(
                 f"core_numbers: no fixed point within {max_rounds} rounds"
             )
-    return state.select("id", F.col("h").alias("core"))
+    return rdir.finalize(state).select("id", F.col("h").alias("core"))

@@ -265,3 +265,16 @@ def test_two_hop_candidates_center_cap(spark):
     # under-cap graphs are exact through the default path
     dflt = two_hop_candidates(e).collect()
     assert len(dflt) == len(exact)
+
+
+def test_kcore_deep_peeling_chain(spark):
+    """Deep peel: a 60-vertex path ending in a triangle peels exactly one
+    path vertex per round under k=2 (~60 rounds), exercising the periodic
+    parquet lineage reset; result = the triangle (nx.k_core)."""
+    from deeprank_spark.operators.cohesion import kcore_distributed
+
+    n = 60
+    edges = [(i, i + 1) for i in range(n - 1)] + [(n - 1, n), (n, n + 1), (n + 1, n - 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["core_deg"] for r in kcore_distributed(e, k=2, max_rounds=200).collect()}
+    assert got == {n - 1: 2, n: 2, n + 1: 2}
