@@ -944,8 +944,10 @@ def _ann_ivf_sql(
     for i in range(1, iters + 1):
         ctes.append(assign(f"a{i}", prev))
         ctes.append(
+            # ROUND(.,12) mirrors ivf_centroids' centroid rounding (see
+            # similarity.py — makes the argmin engine-deterministic)
             f"c{i} AS MATERIALIZED (SELECT cell, list(m ORDER BY pos) AS cv FROM ("
-            f"SELECT cell, pos, AVG(x) AS m FROM ("
+            f"SELECT cell, pos, ROUND(AVG(x), 12) AS m FROM ("
             f"SELECT cell, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS pos "
             f"FROM a{i}) GROUP BY cell, pos) GROUP BY cell)"
         )
@@ -1327,8 +1329,9 @@ _REP_SQL = (
     f"WITH ng AS (SELECT doc_id, {_ngrams_sql_expr(3)} AS gs FROM documents) "
     "SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams, "
     "CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct, "
-    "ROUND(1.0 - len(list_distinct(gs)) / CAST(greatest(len(gs), 1) AS DOUBLE), 8) "
-    "AS dup_frac FROM ng"
+    "CASE WHEN len(gs) > 0 THEN "
+    "ROUND(1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 8) "
+    "ELSE 0.0 END AS dup_frac FROM ng"
 )
 
 
@@ -1372,10 +1375,13 @@ def q_strat_sample(spark, sf_dir):
 
 
 _STRAT_SQL = (
+    # floor() matches stratified_sample's Python int() TRUNCATION; a bare
+    # CAST(... AS INT) would round-half-to-even and diverge by one hash
+    # bucket for rates that aren't exactly representable (e.g. 0.1)
     "SELECT doc_id, source FROM documents "
     "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
-    "printf('%04x', CAST(((CAST(substr(source, 4) AS INT) * 3) % 7 + 1) "
-    "/ 8.0 * 65536 AS INT))"
+    "printf('%04x', CAST(floor(((CAST(substr(source, 4) AS INT) * 3) % 7 + 1) "
+    "/ 8.0 * 65536) AS INT))"
 )
 
 

@@ -301,6 +301,15 @@ def degree_assortativity(
     )
 
 
+def _comm_key(label_col: F.Column, id_col: F.Column) -> F.Column:
+    """Collision-proof community key: labeled vertices get (0, label),
+    unlabeled fallback singletons get (1, own id) — structurally disjoint
+    even when a vertex id equals another community's label."""
+    return F.when(
+        label_col.isNotNull(), F.struct(F.lit(0).alias("fb"), label_col.alias("k"))
+    ).otherwise(F.struct(F.lit(1).alias("fb"), id_col.alias("k")))
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,
@@ -310,11 +319,12 @@ def modularity(
     """-> one row (n_communities, modularity): Newman modularity
     Q = sum_c [ m_c/m - (D_c/(2m))^2 ] of a vertex partition on the
     undirected simple graph (nx.community.modularity semantics; vertices
-    missing from `labels` become singleton communities — their own id is
-    used as the community key, so the label column must share the id
-    type, which holds for the LPA/CC kernels whose labels ARE vertex
-    ids). Requires a non-empty edge set (modularity is undefined at m=0,
-    as in networkx).
+    missing from `labels` become singleton communities). Singleton keys
+    are tagged (struct(fallback_bit, value)) so an unlabeled vertex whose
+    id happens to equal another community's LABEL stays a singleton
+    instead of silently merging — relevant precisely because the LPA/CC
+    kernels' labels ARE vertex ids. Requires a non-empty edge set
+    (modularity is undefined at m=0, as in networkx).
 
     Shape at scale: two joins keyed on the vertex id to label edge
     endpoints, one groupBy(community), one global aggregate.
@@ -339,8 +349,8 @@ def modularity(
             lab.select(F.col("id").alias("v"), F.col("community").alias("cv")), "v", "left"
         )
         .select(
-            F.coalesce(F.col("cu"), F.col("u")).alias("cu"),
-            F.coalesce(F.col("cv"), F.col("v")).alias("cv"),
+            _comm_key(F.col("cu"), F.col("u")).alias("cu"),
+            _comm_key(F.col("cv"), F.col("v")).alias("cv"),
         )
     )
     intra = (
@@ -350,7 +360,7 @@ def modularity(
     )
     deg_c = (
         deg.join(lab, "id", "left")
-        .groupBy(F.coalesce(F.col("community"), F.col("id")).alias("community"))
+        .groupBy(_comm_key(F.col("community"), F.col("id")).alias("community"))
         .agg(F.sum("deg").alias("d_c"))
     )
     per_c = deg_c.join(intra, "community", "left").select(

@@ -56,19 +56,22 @@ def repetition_score(
 ) -> DataFrame:
     """-> (doc_id, n_ngrams, n_distinct, dup_frac).
 
-    dup_frac = 1 - distinct/total word n-grams (0.0 for docs shorter
-    than n tokens) — the Gopher repetition filters' core statistic.
+    dup_frac = 1 - distinct/total word n-grams, and 0.0 for docs shorter
+    than n tokens (no n-grams -> no repetition evidence; dropping short
+    docs is the length filter's job, not this statistic's) — the Gopher
+    repetition filters' core statistic.
     """
     g = word_ngrams(F.col(text_col), n)
     return docs.select(
         F.col(id_col),
         F.size(g).cast("long").alias("n_ngrams"),
         F.size(F.array_distinct(g)).cast("long").alias("n_distinct"),
-        (
-            1.0
-            - F.size(F.array_distinct(g))
-            / F.greatest(F.size(g), F.lit(1)).cast("double")
-        ).alias("dup_frac"),
+        F.when(
+            F.size(g) > 0,
+            1.0 - F.size(F.array_distinct(g)) / F.size(g).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
     )
 
 
@@ -112,11 +115,15 @@ def stratified_sample(
 
     Keeps a row iff substr(md5(cast(id as string)), 1, 4) <
     hex(floor(rate * 16^4)), where rate comes from `rates[stratum]`
-    (default_rate for unlisted strata). Thresholds are 4-char lowercase
-    hex, so the lexicographic compare IS the numeric compare; rate>=1.0
-    maps to the sentinel 'g' (> every hex digit, keeps everything). The
-    threshold dimension is tiny and broadcasts; the filter is map-side
-    only — no shuffle at any scale.
+    (default_rate for unlisted strata). The threshold TRUNCATES
+    (Python int(), i.e. floor for non-negative rates) — SQL mirrors must
+    use floor(), not a bare CAST (round-half-to-even), or rates that are
+    not exactly representable in binary (e.g. 0.1) diverge by one hash
+    bucket. Thresholds are 4-char lowercase hex, so the lexicographic
+    compare IS the numeric compare; rate>=1.0 maps to the sentinel 'g'
+    (> every hex digit, keeps everything). The threshold dimension is
+    tiny and broadcasts; the filter is map-side only — no shuffle at any
+    scale.
     """
 
     def thr(rate: float) -> str:

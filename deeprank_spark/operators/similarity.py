@@ -369,7 +369,12 @@ def ivf_centroids(
         dims = assigned.select(
             "cell", F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x")
         )
-        means = dims.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        # ROUND(avg, 12): F.avg's summation order is shuffle-dependent
+        # (~1e-16 relative noise) and DuckDB's AVG sums in its own order;
+        # rounding the centroid coordinates makes the argmin assignment —
+        # and so the whole candidate set — run- and engine-deterministic
+        # whenever true mean differences exceed 1e-12 (data is O(1))
+        means = dims.groupBy("cell", "pos").agg(F.round(F.avg("x"), 12).alias("m"))
         cent = (
             means.groupBy("cell")
             .agg(

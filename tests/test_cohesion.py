@@ -278,3 +278,21 @@ def test_kcore_deep_peeling_chain(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["core_deg"] for r in kcore_distributed(e, k=2, max_rounds=200).collect()}
     assert got == {n - 1: 2, n: 2, n + 1: 2}
+
+
+def test_modularity_fallback_label_collision(spark):
+    """An unlabeled vertex whose id equals another community's LABEL must
+    stay a singleton (tagged fallback keys), not merge into that
+    community."""
+    import networkx as nx
+
+    # community labeled 5 on {1,2,3}; vertices 5,6 UNLABELED
+    edges = [(1, 2), (2, 3), (3, 1), (5, 6)]
+    labels = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5)], "id long, label long"
+    )
+    g = nx.Graph(edges)
+    exp = nx.community.modularity(g, [{1, 2, 3}, {5}, {6}])
+    row = modularity(_sdf(spark, edges), labels).collect()[0]
+    assert row["n_communities"] == 3
+    assert abs(row["modularity"] - exp) < 1e-12, (row["modularity"], exp)

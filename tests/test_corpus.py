@@ -43,7 +43,8 @@ def test_repetition_score(spark, n):
     }
     for doc_id, text, _ in DOCS:
         g = _ngrams(text, n)
-        exp_frac = 1.0 - len(set(g)) / max(len(g), 1)
+        # docs shorter than n tokens carry no repetition evidence -> 0.0
+        exp_frac = (1.0 - len(set(g)) / len(g)) if g else 0.0
         assert got[doc_id][0] == len(g), doc_id
         assert got[doc_id][1] == len(set(g)), doc_id
         assert abs(got[doc_id][2] - exp_frac) < 1e-12, doc_id
