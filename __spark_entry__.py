@@ -660,18 +660,32 @@ def _corenum_sql(rounds: int = CORENUM_ROUNDS) -> str:
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-duplicate groups over the corpus UNION a deterministic
+    duplicate injection (every 25th doc re-added under id + 1e6): the
+    synthetic corpus has no natural byte-duplicates at small SF, so the
+    injection makes the value check assert real group content (hashes,
+    member ids) instead of an empty set."""
     from deeprank_spark.operators.dedup import exact_duplicates
 
-    d = exact_duplicates(_load(spark, sf_dir, "documents"))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d = exact_duplicates(docs.union(dups))
     return d.select("text_hash", "n_docs", F.to_json("doc_ids").alias("doc_ids"))
 
 
 _DEDUP_EXACT_SQL = (
+    "WITH corpus AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0"
+    ") "
     "SELECT text_hash, n_docs, doc_ids FROM ("
     "  SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,"
     "         COUNT(*) AS n_docs,"
     "         to_json(list_sort(list(doc_id))) AS doc_ids"
-    "  FROM documents GROUP BY 1"
+    "  FROM corpus GROUP BY 1"
     ") WHERE n_docs > 1"
 )
 
