@@ -34,6 +34,12 @@ class CraftParams:
     rel_count: int = 10        # SVO relation count
     dot_count: int = 16        # viz top-k (unused in engine)
 
+    # parser plugin (nlp/backends.py; mirrors the reference's exchangeable
+    # adapters behind parser_api.py:5-30). The oracle strategy pins only
+    # the DEFAULT backend's outputs; any backend must flow through the
+    # pipeline unchanged (tests/test_parser_backends.py).
+    parser_backend: str = "simple"
+
     # PageRank kernel (networkx defaults, deepRank.py:535)
     damping: float = 0.85
     tol: float = 1.0e-6

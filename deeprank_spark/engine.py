@@ -44,7 +44,7 @@ class Digest:
 
 def digest(transcripts: DataFrame, params: CraftParams | None = None) -> Digest:
     p = params or CraftParams()
-    parsed = parse_transcripts(transcripts)
+    parsed = parse_transcripts(transcripts, backend=p.parser_backend)
     # the parse is the expensive stage — materialize it once for the
     # multiple downstream consumers (edge gen, svo, extraction joins).
     # localCheckpoint (eager) rather than persist+count: it additionally

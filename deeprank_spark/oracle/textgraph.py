@@ -80,9 +80,17 @@ class DocGraph:
 
 
 def digest(sent_texts: list[str], params: CraftParams | None = None) -> DocGraph:
-    """Reference edgesInSent rule cascade over our deterministic parser."""
+    """Reference edgesInSent rule cascade over the configured deterministic
+    parser backend (params.parser_backend — same plugin registry the Spark
+    side resolves, nlp/backends.py)."""
     p = params or CraftParams()
-    parsed = [parse_sentence(s) for s in sent_texts]
+    if p.parser_backend == "simple":
+        pfn = parse_sentence
+    else:
+        from ..nlp.backends import get_parse_sentence
+
+        pfn = get_parse_sentence(p.parser_backend)
+    parsed = [pfn(s) for s in sent_texts]
     dg = DocGraph(parsed=parsed)
 
     # noun_set: first sentence where a lemma occurs with a noun tag

@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .nlp.simple_parser import parse_turn, split_sentences
+from .nlp.simple_parser import split_sentences
 
 DEP_STRUCT = StructType(
     [
@@ -59,31 +59,47 @@ PARSED_SCHEMA = StructType(
 )
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {k: [] for k in ("conv_id", "sent_id", "words", "lemmas", "tags", "deps")}
-        for conv_id, sent_id, text in zip(pdf["conv_id"], pdf["sent_id"], pdf["text"]):
-            ps = parse_turn(text)
-            out["conv_id"].append(conv_id)
-            out["sent_id"].append(sent_id)
-            out["words"].append(ps.words)
-            out["lemmas"].append(ps.lemmas)
-            out["tags"].append(ps.tags)
-            out["deps"].append(
-                [
-                    {"fw": f[0], "ftag": f[1], "rel": r, "tw": t[0], "ttag": t[1]}
-                    for (f, r, t) in ps.deps
-                ]
-            )
-        yield pd.DataFrame(out)
+def _parse_batches_for(backend: str | None):
+    """Batch-parse closure for a backend NAME: each Arrow worker resolves
+    the module itself (pluggable seam, see nlp/backends.py)."""
+
+    def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .nlp.backends import get_parse_turn
+
+        parse_turn = get_parse_turn(backend)
+        for pdf in batches:
+            yield _parse_one(pdf, parse_turn)
+
+    return _parse_batches
 
 
-def parse_transcripts(transcripts: DataFrame) -> DataFrame:
-    """transcripts(conv_id, turn_idx, ..., text) -> parsed."""
+def _parse_one(pdf: pd.DataFrame, parse_turn) -> pd.DataFrame:
+    out = {k: [] for k in ("conv_id", "sent_id", "words", "lemmas", "tags", "deps")}
+    for conv_id, sent_id, text in zip(pdf["conv_id"], pdf["sent_id"], pdf["text"]):
+        ps = parse_turn(text)
+        out["conv_id"].append(conv_id)
+        out["sent_id"].append(sent_id)
+        out["words"].append(ps.words)
+        out["lemmas"].append(ps.lemmas)
+        out["tags"].append(ps.tags)
+        out["deps"].append(
+            [
+                {"fw": f[0], "ftag": f[1], "rel": r, "tw": t[0], "ttag": t[1]}
+                for (f, r, t) in ps.deps
+            ]
+        )
+    return pd.DataFrame(out)
+
+
+def parse_transcripts(transcripts: DataFrame, backend: str | None = None) -> DataFrame:
+    """transcripts(conv_id, turn_idx, ..., text) -> parsed.
+
+    `backend` names a parser plugin (nlp/backends.py); None = the default
+    (or the DEEPRANK_PARSER_BACKEND env override)."""
     src = transcripts.select(
         "conv_id", F.col("turn_idx").cast("int").alias("sent_id"), "text"
     )
-    return src.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+    return src.mapInPandas(_parse_batches_for(backend), schema=PARSED_SCHEMA)
 
 
 def documents_as_transcripts(documents: DataFrame) -> DataFrame:
