@@ -67,3 +67,69 @@ def test_misspellings_only_for_long_words(spark):
     # len < 5: lexical variants only
     assert got["dog"] == sorted({"dog", "Dog"})
     assert got["dogs"] == sorted({"dogs", "Dogs", "dog"})
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (round 3 — real stemmer behind F9's snowball slot)
+# ---------------------------------------------------------------------------
+
+# the 1980 paper's per-step example set (+ the canonical implementation's
+# documented LOGI->LOG departure)
+PORTER_VECTORS = {
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall", "hissing": "hiss",
+    "fizzed": "fizz", "failing": "fail", "filing": "file",
+    "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "homologou": "homolog", "communism": "commun",
+    "activate": "activ", "angulariti": "angular", "homologi": "homolog",
+    "effective": "effect", "bowdlerize": "bowdler", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+}
+
+
+def test_porter_paper_vectors():
+    from deeprank_spark.functions.porter import porter_stem
+
+    bad = {
+        w: (porter_stem(w), e)
+        for w, e in PORTER_VECTORS.items()
+        if porter_stem(w) != e
+    }
+    assert not bad, bad
+
+
+def test_porter_idempotent_and_safe():
+    from deeprank_spark.functions.porter import porter_stem
+
+    for w in PORTER_VECTORS:
+        s = porter_stem(w)
+        assert porter_stem(s) == porter_stem(porter_stem(s))  # stable
+        assert s  # never empties a word
+    for w in ("a", "be", "it", ""):
+        assert porter_stem(w) == w  # short words unchanged
+
+
+def test_porter_stems_query(spark):
+    import __spark_entry__ as e
+    from deeprank_spark.functions.porter import porter_stem
+
+    rows = e.q_porter_stems(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 20  # sf0.001's 5 sampled docs have a small vocabulary
+    for r in rows:
+        assert r["stem"] == porter_stem(r["word"].lower()), r
