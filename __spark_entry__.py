@@ -4,7 +4,7 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). 56 of the 57 queries carry DuckDB
+SURVEY.md §2 (+ the training-data ops). 59 of the 60 queries carry DuckDB
 value-hash oracles (porter_stems is the one rows-only entry: the Porter
 measure cascade is not SQL-expressible; its exactness is pinned by the
 1980 paper's example vectors in pytest) — including the fixed-schedule distributed PageRank
@@ -659,6 +659,125 @@ def _corenum_sql(rounds: int = CORENUM_ROUNDS) -> str:
 # ---------------------------------------------------------------------------
 # dedup / text / similarity queries
 # ---------------------------------------------------------------------------
+
+
+def q_g_sssp(spark, sf_dir):
+    """Unweighted single-source shortest paths (BFS levels) from customer 1
+    on the undirected bipartite graph — frontier-based superstep kernel
+    (operators/paths.py); unreachable vertices absent (nx semantics)."""
+    from deeprank_spark.operators.paths import sssp_distributed
+
+    return sssp_distributed(_bipartite_edges(spark, sf_dir), source=1)
+
+
+# recursion cap 32 >> the bipartite graph's diameter (~6 measured across
+# sf0.001-0.1); the engine converges naturally, the SQL mirror needs an
+# explicit bound because cycles would otherwise grow dist forever
+_SSSP_SQL = (
+    f"WITH RECURSIVE e AS ({_EDGES_SQL}), "
+    "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(id, dist) AS ("
+    "  SELECT CAST(1 AS BIGINT), 0"
+    "  UNION"
+    "  SELECT s.dst, r.dist + 1 FROM reach r JOIN sym s ON r.id = s.src "
+    "  WHERE r.dist < 32"
+    ") "
+    "SELECT id, MIN(dist) AS dist FROM reach GROUP BY id"
+)
+
+
+def q_ev_asof(spark, sf_dir):
+    """As-of join (point-in-time attribution): every click event joined to
+    the latest preceding view event of the same user — one shuffle +
+    window, no range join (operators/asof.py)."""
+    from deeprank_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, key="user_id", right_id="event_id",
+        payload=("event_id", "value"),
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
+_ASOF_SQL = (
+    "WITH l AS (SELECT event_id, user_id, ts, 1 AS side, "
+    "           CAST(NULL AS BIGINT) AS tb, CAST(NULL AS BIGINT) AS r_eid, "
+    "           CAST(NULL AS DOUBLE) AS r_val "
+    "           FROM events WHERE event_type = 'click'), "
+    "r AS (SELECT event_id, user_id, ts, 0 AS side, event_id AS tb, "
+    "      event_id AS r_eid, value AS r_val FROM events "
+    "      WHERE event_type = 'view'), "
+    "u AS (SELECT * FROM l UNION ALL SELECT * FROM r), "
+    "f AS (SELECT *, "
+    "  LAST_VALUE(r_eid IGNORE NULLS) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, side, tb "
+    "     ROWS UNBOUNDED PRECEDING) AS a_eid, "
+    "  LAST_VALUE(r_val IGNORE NULLS) OVER "
+    "    (PARTITION BY user_id ORDER BY ts, side, tb "
+    "     ROWS UNBOUNDED PRECEDING) AS a_val "
+    "  FROM u) "
+    "SELECT event_id, user_id, a_eid AS view_event_id, "
+    "ROUND(a_val, 6) AS view_value FROM f WHERE side = 1"
+)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub of every 20th doc with deterministic synthetic PII
+    appended (the corpus has none naturally — same trivially-green
+    avoidance as dedup_exact): emails / phones / IPv4 replaced by typed
+    placeholders, replacement count value-checked, redacted text compared
+    by md5."""
+    from deeprank_spark.operators.textstats import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via +1-555-0100 at 10.0.0.1 end"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id", "n_redactions", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+def _pii_sql() -> str:
+    from deeprank_spark.operators.textstats import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    em, ph, ip = pats["email"], pats["phone"], pats["ipv4"]
+
+    def esc(p):
+        return p.replace("'", "''")
+
+    return (
+        "WITH base AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com via +1-555-0100 at 10.0.0.1 end' AS t "
+        "FROM documents WHERE doc_id % 20 = 0), "
+        f"s1 AS (SELECT doc_id, len(regexp_split_to_array(t, '{esc(em)}')) - 1 AS c1, "
+        f"       regexp_replace(t, '{esc(em)}', '<EMAIL>', 'g') AS t1 FROM base), "
+        f"s2 AS (SELECT doc_id, c1, len(regexp_split_to_array(t1, '{esc(ph)}')) - 1 AS c2, "
+        f"       regexp_replace(t1, '{esc(ph)}', '<PHONE>', 'g') AS t2 FROM s1), "
+        f"s3 AS (SELECT doc_id, c1, c2, len(regexp_split_to_array(t2, '{esc(ip)}')) - 1 AS c3, "
+        f"       regexp_replace(t2, '{esc(ip)}', '<IPV4>', 'g') AS t3 FROM s2) "
+        "SELECT doc_id, CAST(c1 + c2 + c3 AS BIGINT) AS n_redactions, "
+        "md5(t3) AS redacted_md5 FROM s3"
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1673,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank3": q_g_pagerank,
         "g_components": q_g_components,
         "g_scc": q_g_scc,
+        "g_sssp": q_g_sssp,
         "g_triangles": q_g_triangles,
         "g_lpa2": q_g_lpa,
         "g_pagerank_full": q_g_pagerank_full,
@@ -1734,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "ev_windowed": q_ev_windowed,
         "ev_sessionize": q_ev_sessionize,
+        "ev_asof": q_ev_asof,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1747,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "g_pagerank_full": _pagerank_full_sql(),
         "g_components": _CC_SQL,
         "g_scc": _SCC_SQL,
+        "g_sssp": _SSSP_SQL,
         "g_triangles": _TRI_SQL,
         "g_lpa2": _lpa_sql(),
         "g_clustering": _CLUSTERING_SQL,
@@ -1817,6 +1940,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ev_windowed": _EV_WIN_SQL,
         "ev_sessionize": _EV_SESS_SQL,
+        "ev_asof": _ASOF_SQL,
+        "pii_redact": _pii_sql(),
         "dr_components": _dr_components_oracle(),
         "dr_line_graph_adj": _dr_line_graph_adj_oracle(),
         "dr_keywords": _dr_rank_oracle("dr_keywords_sql"),

@@ -151,3 +151,40 @@ def sampled_fingerprints(
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("fp_hash"),
     )
     return h.where(F.pmod("fp_hash", F.lit(mod)) == 0).distinct()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 3) — training-corpus hygiene pass
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the regex subset where Java (Spark) and RE2 (DuckDB)
+# agree, so the operator is value-oracled: character classes, bounded
+# repetition, alternation — no backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+[0-9][0-9\-]{7,14}[0-9]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, redacted, n_redactions): text with emails / phone
+    numbers / IPv4 literals replaced by <KIND> placeholders, plus the
+    total number of replacements. Map-only expression pipeline (zero
+    shuffle at any scale); redaction order is fixed (email, phone, ipv4)
+    so placeholders are deterministic and engines agree byte-for-byte.
+    """
+    red = F.col(text_col)
+    n = F.lit(0)
+    for kind, pat in PII_PATTERNS:
+        # count first (on the not-yet-redacted text for this kind), then
+        # replace; earlier kinds' placeholders contain no matchable chars
+        n = n + F.size(F.split(red, pat)) - 1
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n.cast("long").alias("n_redactions"),
+    )

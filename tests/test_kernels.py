@@ -178,3 +178,35 @@ def test_scc_two_mutual_cliques(spark):
     got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
     exp = scc_nx(edges)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# single-source shortest paths (round-3 beyond-reference kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_sssp_distributed_random(spark):
+    import networkx as nx
+
+    from deeprank_spark.operators.paths import sssp_distributed
+
+    edges = _random_edges(11, n=60, m=150)
+    g = nx.Graph()
+    g.add_edges_from((a, b) for a, b in edges if a != b)
+    src = min(g.nodes)
+    exp = nx.single_source_shortest_path_length(g, src)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["dist"] for r in sssp_distributed(e, source=src).collect()}
+    assert got == dict(exp)
+
+
+def test_sssp_directed_path(spark):
+    from deeprank_spark.operators.paths import sssp_distributed
+
+    edges = [(i, i + 1) for i in range(20)]  # directed path 0 -> 20
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["dist"] for r in sssp_distributed(e, source=0, directed=True).collect()}
+    assert got == {i: i for i in range(21)}
+    # from the middle, only the suffix is reachable in the directed graph
+    got = {r["id"]: r["dist"] for r in sssp_distributed(e, source=10, directed=True).collect()}
+    assert got == {i: i - 10 for i in range(10, 21)}
