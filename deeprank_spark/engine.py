@@ -42,25 +42,54 @@ class Digest:
     svo: DataFrame
 
 
-def digest(transcripts: DataFrame, params: CraftParams | None = None) -> Digest:
+def digest(
+    transcripts: DataFrame,
+    params: CraftParams | None = None,
+    materialize: str | None = None,
+) -> Digest:
+    """materialize seam — the parse is the expensive stage and is consumed
+    by several downstream branches (edge gen, svo, extraction joins):
+
+    - "checkpoint" (default): eager localCheckpoint. Besides caching, it
+      TRUNCATES LINEAGE, so every downstream action re-analyzes a shallow
+      plan instead of the full parse+cascade expression tree — Catalyst
+      analysis of the deep plan costs 1-4 s per ACTION, and the
+      interactive contract/extraction/query layers fire a dozen actions
+      over these frames. On a real cluster the same seam writes a
+      reliable checkpoint (parquet state table, as the superstep kernels
+      do).
+    - "persist": cache + eager count, keeping lineage. Right for
+      single-action batch jobs (one flagship pass): it skips the extra
+      serialized copy and the materialization barriers, which measurably
+      cost scaling efficiency on the N->4N criterion job (the count() is
+      load-bearing: a lazy persist referenced from several branches of
+      ONE action recomputes the parse per branch).
+
+    Env override: DEEPRANK_DIGEST_MATERIALIZE.
+    """
+    import os
+
     p = params or CraftParams()
-    parsed = parse_transcripts(transcripts, backend=p.parser_backend)
-    # the parse is the expensive stage — materialize it once for the
-    # multiple downstream consumers (edge gen, svo, extraction joins).
-    # localCheckpoint (eager) rather than persist+count: it additionally
-    # TRUNCATES LINEAGE, so every downstream action re-analyzes a shallow
-    # plan instead of the full parse+cascade expression tree — Catalyst
-    # analysis of the deep plan costs 1-4 s per action, and the extraction/
-    # query layers fire a dozen actions over these frames. On a real
-    # cluster the same seam writes a reliable checkpoint (parquet state
-    # table, as the superstep kernels do); locally executor storage is fine.
-    parsed = parsed.localCheckpoint(eager=True)
+    mode = (
+        materialize
+        or os.environ.get("DEEPRANK_DIGEST_MATERIALIZE")
+        or "checkpoint"
+    )
+
+    def mat(df: DataFrame) -> DataFrame:
+        if mode == "persist":
+            df = df.persist()
+            df.count()
+            return df
+        return df.localCheckpoint(eager=True)
+
+    parsed = mat(parse_transcripts(transcripts, backend=p.parser_backend))
     toks = tokens_table(parsed)
-    w2l = w2l_sentence(toks).localCheckpoint(eager=True)
+    w2l = mat(w2l_sentence(toks))
     nouns = noun_set_table(toks)
     # the §2.3 rule cascade is the deepest expression tree in the engine —
-    # checkpoint its output so joins/extraction analyze a flat scan
-    multi = multi_edges_table(parsed, w2l, nouns, p).localCheckpoint(eager=True)
+    # materialize its output so joins/extraction analyze a flat scan
+    multi = mat(multi_edges_table(parsed, w2l, nouns, p))
     ed = edges_table(multi)
     ged = graph_edges(ed)
     verts = vertices_table(ged)
