@@ -1174,8 +1174,11 @@ _MM_FEATURES_SQL = (
 
 
 def q_dr_query_answers(spark, sf_dir):
-    """Entry-point-C personalized query answering (rows-only; semantics
-    pytest-verified against the pure-python oracle in tests/test_query.py)."""
+    """Entry-point-C personalized query answering. Fully DuckDB-oracled
+    (dr_query_answers_sql: the parse pipeline instantiated twice + query
+    PageRank -> personalization -> personalized rerank -> answer windows);
+    semantics also pytest-verified vs the pure-python oracle
+    (tests/test_query.py)."""
     from deeprank_spark.operators.query import answer_queries
 
     docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
@@ -1189,8 +1192,10 @@ def q_dr_query_answers(spark, sf_dir):
 
 
 def q_dr_vote_answers(spark, sf_dir):
-    """Four-matcher answer engine (qpro.pro search path; rows-only —
-    pytest-verified in tests/test_answers.py)."""
+    """Four-matcher answer engine (qpro.pro search path). Fully
+    DuckDB-oracled (dr_vote_answers_sql: personalized-rerank recursive PR
+    + the four matchers + vote count + apply_rank scoring in one
+    statement); also pytest-verified in tests/test_answers.py."""
     from deeprank_spark.operators.answers import four_matcher_answers
     from deeprank_spark.sources.export import ner_table
 
@@ -1237,7 +1242,9 @@ def q_dr_line_graph_adj(spark, sf_dir):
 
 
 def q_dr_svo_extended(spark, sf_dir):
-    """Taxonomy (WordNet-style) SVO extension (J4; rows-only)."""
+    """Taxonomy (WordNet-style) SVO extension (J4). Fully DuckDB-oracled
+    (dr_svo_extended_sql: taxonomy dimension inlined as VALUES, both ends
+    required among the document's word ranks)."""
     from deeprank_spark.engine import flagship
     from deeprank_spark.functions.taxonomy import wn_rel_table
     from deeprank_spark.operators.extract import extend_svos_with_taxonomy

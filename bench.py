@@ -206,11 +206,18 @@ def run_kernel_job() -> dict:
     text-graph job (Arrow parse -> Catalyst edge cascade -> per-conv
     numpy-CSR PageRank to 1e-6 -> extraction) over a deterministic
     synthetic transcript corpus — the engine's dominant, CPU-bound
-    workload. Input generation is excluded from the timed window."""
+    workload. Input generation is excluded from the timed window.
+
+    The timed job runs DEEPRANK_KERNEL_REPEATS times in-process and the
+    MIN is reported (cache cleared between repeats so each pays the full
+    pipeline) — same estimator as the headline bench: this host's CPU
+    steal comes in minutes-long windows that can double a single run, and
+    min-of-R within one process is the standard way to read through it."""
     from deeprank_spark.engine import flagship
     from deeprank_spark.session import get_spark
     from deeprank_spark.transcripts import gen_transcripts_df
 
+    repeats = max(1, int(os.environ.get("DEEPRANK_KERNEL_REPEATS", "2")))
     spark = get_spark(
         app_name="deeprank-scaling", master=f"local[{CPUS}]", shuffle_partitions=32
     )
@@ -220,14 +227,20 @@ def run_kernel_job() -> dict:
     ).localCheckpoint(eager=True)
     n_turns = tr.count()
 
-    t0 = time.time()
-    out = flagship(tr)
-    n_summary = out["summary"].count()
-    wall = time.time() - t0
+    walls = []
+    n_summary = 0
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        out = flagship(tr)
+        n_summary = out["summary"].count()
+        walls.append(round(time.time() - t0, 3))
+        out["ranks"].unpersist()
     spark.stop()
     return {
         "cpus": int(CPUS),
-        "wall_s": round(wall, 3),
+        "wall_s": min(walls),
+        "wall_s_all": walls,
         "turns": n_turns,
         "summary_rows": n_summary,
     }

@@ -23,11 +23,24 @@ this module closes that delta:
          w reaches u then w reaches v, so color'(v) = color(color(v)) only
          ever tightens within the reaching set.
       3. BACKWARD: every color class contains its root c (nothing smaller
-         reaches c, and c = min member of SCC(c) — see proof note below).
-         Mark the roots and propagate "reaches root" along REVERSED edges
-         restricted to the same color, to fixpoint. Marked vertices are in
-         FWD(c) ∩ BWD(c) = SCC(c): peel every class's root SCC at once.
+         reaches c, and c = min member of SCC(c) — see proof note below;
+         c is also the MIN ID of the whole class, since every member v has
+         color(v)=c <= v). Compute bcolor(v) = min vertex REACHABLE FROM v
+         within the class — min-label propagation along reversed direction,
+         again with pointer jumping (transitive, and jump targets stay in
+         the class because the propagation is class-restricted). Then
+         v ∈ SCC(c)  ⟺  color(v) = c ∧ bcolor(v) = c
+         (bcolor(v)=c ⟺ v reaches c; with color(v)=c that is mutual
+         reachability). Peel every class's root SCC at once.
       4. Remove peeled vertices, keep only edges with both ends remaining.
+
+    Both fixpoints are pointer-jumped, so arbitrarily long cycles converge
+    in O(log n) rounds. The known FW-BW worst case remains the OUTER loop:
+    a long chain of singleton SCCs with adversarially decreasing ids peels
+    few classes per round (all label-propagation SCC schemes share this;
+    randomized-pivot variants trade it for expected O(log n) rounds). Real
+    link graphs peel in a handful of rounds after trimming; on exhaustion
+    the kernel RAISES instead of mislabeling leftovers.
 
   Root-is-min proof note: color(v)=c means c reaches v and no smaller
   vertex reaches v. For any m in SCC(c) with m < c: m reaches c, so
@@ -225,52 +238,57 @@ def scc_distributed(
                 kept.clear()
             if changed == 0:
                 break
-        # --- 3. backward reachability to the class root, within class ---
-        reached = colors.select(
-            "id", "color", (F.col("id") == F.col("color")).alias("r")
-        ).localCheckpoint(eager=True)
-        kept = [reached]
+        # --- 3. backward min-label within class, with pointer jumping ---
+        # class-restricted edges, REVERSED: propagate "min reachable" from
+        # out-neighbors back to sources
+        col_of = colors.localCheckpoint(eager=True)
+        ce = (
+            rem_e.join(col_of.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
+            .join(col_of.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
+            .where(F.col("ca") == F.col("cb"))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        bcol = col_of.select("id", F.col("id").alias("bcolor"))
+        kept = [bcol]
         for it in range(max_inner):
-            # u is reached if some out-neighbor w (u->w) in the SAME color
-            # class is reached
-            r_dst = reached.where(F.col("r")).select(
-                F.col("id").alias("b"), F.col("color").alias("bcol")
+            succ_min = (
+                bcol.join(ce, bcol["id"] == ce["b"])
+                .groupBy(ce["a"].alias("id"))
+                .agg(F.min("bcolor").alias("smin"))
             )
-            new_r = (
-                rem_e.join(r_dst, "b")
-                .select(F.col("a").alias("id"), F.col("bcol").alias("acol"))
-                .distinct()
+            m = bcol.join(succ_min, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("bcolor"), F.coalesce(F.col("smin"), F.col("bcolor"))
+                ).alias("m"),
+                F.col("bcolor").alias("prev"),
             )
-            stepped = (
-                reached.join(
-                    new_r,
-                    (reached["id"] == new_r["id"]) & (reached["color"] == new_r["acol"]),
-                    "left",
-                )
-                .select(
-                    reached["id"],
-                    reached["color"],
-                    (F.col("r") | new_r["acol"].isNotNull()).alias("nr"),
-                    F.col("r").alias("prev"),
-                )
+            jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
+            stepped = m.join(jump, m["m"] == jump["jid"]).select(
+                "id",
+                F.col("jlbl").alias("bcolor"),
+                (F.col("jlbl") != F.col("prev")).alias("chg"),
             )
-            new = stepped.select(
-                "id", "color", F.col("nr").alias("r"),
-                (F.col("nr") != F.col("prev")).alias("chg"),
-            ).localCheckpoint(eager=True)
+            new = stepped.localCheckpoint(eager=True)
             changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
             kept.append(new)
-            reached = new.select("id", "color", "r")
+            bcol = new.select("id", "bcolor")
             if (it + 1) % 5 == 0:
-                reached = rdir.reset(reached, outer * 1000 + 500 + it)
+                bcol = rdir.reset(bcol, outer * 1000 + 500 + it)
                 kept.clear()
             if changed == 0:
                 break
-        scc_now = reached.where(F.col("r")).select(
+        joined = col_of.join(bcol, "id").localCheckpoint(eager=True)
+        scc_now = joined.where(F.col("bcolor") == F.col("color")).select(
             "id", F.col("color").alias("component")
         )
         done_parts.append(scc_now.localCheckpoint(eager=True))
-        rem_v = reached.where(~F.col("r")).select("id").localCheckpoint(eager=True)
+        rem_v = (
+            joined.where(F.col("bcolor") != F.col("color"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
         n_rem = rem_v.count()
         if n_rem == 0:
             break
@@ -279,12 +297,12 @@ def scc_distributed(
             .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
             .localCheckpoint(eager=True)
         )
-    # any leftovers past max_outer (shouldn't happen) labeled as singletons
     if n_rem > 0:
-        done_parts.append(
-            rem_v.select("id", F.col("id").alias("component")).localCheckpoint(
-                eager=True
-            )
+        # refuse to emit wrong labels: leftover vertices are NOT known
+        # singletons (outer-round budget exhausted on an adversarial chain)
+        raise RuntimeError(
+            f"scc_distributed: {n_rem} vertices unresolved after "
+            f"{max_outer} outer rounds; raise max_outer"
         )
     out = done_parts[0]
     for part in done_parts[1:]:

@@ -210,3 +210,17 @@ def test_sssp_directed_path(spark):
     # from the middle, only the suffix is reachable in the directed graph
     got = {r["id"]: r["dist"] for r in sssp_distributed(e, source=10, directed=True).collect()}
     assert got == {i: i - 10 for i in range(10, 21)}
+
+
+def test_scc_long_cycle_converges_logarithmically(spark):
+    """A 500-vertex directed cycle is ONE SCC with diameter 499: both SCC
+    fixpoints are pointer-jumped, so it must resolve well inside the
+    default round budgets (a non-jumped backward pass would need 499
+    rounds and previously fell off max_inner)."""
+    n = 500
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    # shift ids so the min vertex isn't at position 0 (exercises root-id math)
+    edges = [(a + 17, b + 17) for a, b in edges]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
+    assert got == {i + 17: 17 for i in range(n)}
