@@ -18,34 +18,38 @@ this module closes that delta:
          Real link graphs are mostly acyclic, so trimming usually removes
          the bulk of the vertex set in the first round.
       2. COLOR: min-label propagation along edge direction to fixpoint,
-         with pointer jumping — color(v) = min vertex id that reaches v.
-         Jumping is sound here exactly as in weak CC: if u reaches v and
-         w reaches u then w reaches v, so color'(v) = color(color(v)) only
+         with pointer jumping — color(v) = min-labeled vertex that reaches
+         v. Jumping is sound exactly as in weak CC: if u reaches v and w
+         reaches u then w reaches v, so color'(v) = color(color(v)) only
          ever tightens within the reaching set.
-      3. BACKWARD: every color class contains its root c (nothing smaller
-         reaches c, and c = min member of SCC(c) — see proof note below;
-         c is also the MIN ID of the whole class, since every member v has
-         color(v)=c <= v). Compute bcolor(v) = min vertex REACHABLE FROM v
-         within the class — min-label propagation along reversed direction,
-         again with pointer jumping (transitive, and jump targets stay in
-         the class because the propagation is class-restricted). Then
-         v ∈ SCC(c)  ⟺  color(v) = c ∧ bcolor(v) = c
-         (bcolor(v)=c ⟺ v reaches c; with color(v)=c that is mutual
-         reachability). Peel every class's root SCC at once.
+      3. BACKWARD: bcolor(v) = min-labeled vertex REACHABLE FROM v within
+         its color class — the same min-label + jump loop on the REVERSED,
+         class-restricted edges. The class root r (the class's min-labeled
+         vertex, see proof note) satisfies
+         v in SCC(r)  <=>  color(v) = label(r) and bcolor(v) = label(r):
+         mutual reachability. Peel every class's root SCC at once; the
+         emitted component id is the min REAL id of each peeled SCC
+         (one groupBy), matching the networkx-comparable convention.
       4. Remove peeled vertices, keep only edges with both ends remaining.
 
-    Both fixpoints are pointer-jumped, so arbitrarily long cycles converge
-    in O(log n) rounds. The known FW-BW worst case remains the OUTER loop:
-    a long chain of singleton SCCs with adversarially decreasing ids peels
-    few classes per round (all label-propagation SCC schemes share this;
-    randomized-pivot variants trade it for expected O(log n) rounds). Real
-    link graphs peel in a handful of rounds after trimming; on exhaustion
-    the kernel RAISES instead of mislabeling leftovers.
+    LABELS ARE HASHED: propagation uses struct(xxhash64(id), id) — the
+    hash gives a direction-agnostic random total order, the raw id breaks
+    hash collisions exactly. Min-ID propagation with pointer jumping is
+    only fast when ids happen to DECREASE along the propagation direction
+    (each vertex's pointer then leaves itself, forming jumpable chains);
+    on an ascending-id cycle the backward sweep degenerates to one vertex
+    per round, and truncating it would peel a PARTIAL SCC — which breaks
+    the remainder's strong connectivity and silently mislabels it.
+    Randomized labels make both sweeps O(log n) rounds w.h.p. regardless
+    of id assignment (the classic hash-min analysis); the 500-cycle
+    regression test pins it. On budget exhaustion the kernel RAISES
+    instead of mislabeling leftovers.
 
-  Root-is-min proof note: color(v)=c means c reaches v and no smaller
-  vertex reaches v. For any m in SCC(c) with m < c: m reaches c, so
-  color(c) <= m < c, contradicting color(c)=c. Hence the emitted component
-  label is the min member id — identical to the per-conv/networkx label.
+  Root-in-class proof note: for any member w of the class of r with
+  label(w) < label(r): w reaches itself, so color(w) <= label(w) <
+  label(r), contradicting w's membership in r's class. Hence r is the
+  class's unique min-labeled vertex and bcolor(v) = label(r) iff v
+  reaches r.
 
 Scale notes (100 TB shape): every fixpoint loop checkpoints eagerly per
 step with strong refs and periodic parquet resets (the `_ResetDir` lineage
@@ -154,6 +158,62 @@ def scc_per_conv(gedges: DataFrame) -> DataFrame:
     return gedges.groupBy("conv_id").applyInPandas(run, PER_CONV_SCHEMA)
 
 
+
+
+def _hlabel(idcol: F.Column) -> F.Column:
+    """Hashed propagation label: random total order via xxhash64, exact
+    collision break via the raw id (struct comparison is lexicographic)."""
+    return F.struct(F.xxhash64(idcol).alias("h"), idcol.alias("i"))
+
+
+def _minlabel_fixpoint(
+    state: DataFrame,
+    prop_e: DataFrame,
+    rdir: _ResetDir,
+    base: int,
+    max_inner: int,
+) -> DataFrame:
+    """Hash-min label exchange with pointer jumping to fixpoint.
+
+    state: (id, lbl struct<h,i>); prop_e: (a, b) — labels flow a -> b.
+    Jump: lbl'(v) = lbl(vertex named by lbl(v).i) — transitive within the
+    reaching set. Raises if max_inner rounds don't converge (w.h.p. needs
+    O(log n) under the hashed order)."""
+    state = state.localCheckpoint(eager=True)
+    kept = [state]
+    for it in range(max_inner):
+        msg = (
+            state.join(prop_e, state["id"] == prop_e["a"])
+            .groupBy(prop_e["b"].alias("id"))
+            .agg(F.min("lbl").alias("pmin"))
+        )
+        m = state.join(msg, "id", "left").select(
+            "id",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("pmin"), F.col("lbl"))
+            ).alias("m"),
+            F.col("lbl").alias("prev"),
+        )
+        jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
+        stepped = m.join(jump, m["m"]["i"] == jump["jid"]).select(
+            "id",
+            F.col("jlbl").alias("lbl"),
+            (F.col("jlbl") != F.col("prev")).alias("chg"),
+        )
+        new = stepped.localCheckpoint(eager=True)
+        changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
+        kept.append(new)
+        state = new.select("id", "lbl")
+        if (it + 1) % 5 == 0:
+            state = rdir.reset(state, base + it)
+            kept.clear()
+        if changed == 0:
+            return state
+    raise RuntimeError(
+        f"minlabel fixpoint did not converge within {max_inner} rounds"
+    )
+
+
 def scc_distributed(
     edges: DataFrame,
     id_cols: tuple = ("src", "dst"),
@@ -205,84 +265,31 @@ def scc_distributed(
             )
         if n_rem == 0:
             break
-        # --- 2. color: min-label forward propagation with pointer jumping ---
-        colors = rem_v.select("id", F.col("id").alias("color"))
-        colors = colors.localCheckpoint(eager=True)
-        kept = []
-        for it in range(max_inner):
-            pred_min = (
-                colors.join(rem_e, colors["id"] == rem_e["a"])
-                .groupBy(rem_e["b"].alias("id"))
-                .agg(F.min("color").alias("pmin"))
-            )
-            m = colors.join(pred_min, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("color"), F.coalesce(F.col("pmin"), F.col("color"))
-                ).alias("m"),
-                F.col("color").alias("prev"),
-            )
-            # pointer jump (sound: reaching-set transitivity, see module doc)
-            jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
-            stepped = m.join(jump, m["m"] == jump["jid"]).select(
-                "id",
-                F.col("jlbl").alias("color"),
-                (F.col("jlbl") != F.col("prev")).alias("chg"),
-            )
-            new = stepped.localCheckpoint(eager=True)
-            changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
-            kept.append(new)
-            colors = new.select("id", "color")
-            if (it + 1) % 5 == 0:
-                colors = rdir.reset(colors, outer * 1000 + it)
-                kept.clear()
-            if changed == 0:
-                break
-        # --- 3. backward min-label within class, with pointer jumping ---
-        # class-restricted edges, REVERSED: propagate "min reachable" from
-        # out-neighbors back to sources
+        # --- 2. color: min-label forward propagation with pointer jumping,
+        # over HASHED labels struct(xxhash64(id), id) — see module doc ---
+        colors = rem_v.select("id", _hlabel(F.col("id")).alias("lbl"))
+        colors = _minlabel_fixpoint(
+            colors, rem_e, rdir, outer * 1000, max_inner
+        ).withColumnRenamed("lbl", "color")
+        # --- 3. backward: same loop on the REVERSED class-restricted edges ---
         col_of = colors.localCheckpoint(eager=True)
         ce = (
             rem_e.join(col_of.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
             .join(col_of.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
             .where(F.col("ca") == F.col("cb"))
-            .select("a", "b")
+            .select(F.col("b").alias("a"), F.col("a").alias("b"))  # reversed
             .localCheckpoint(eager=True)
         )
-        bcol = col_of.select("id", F.col("id").alias("bcolor"))
-        kept = [bcol]
-        for it in range(max_inner):
-            succ_min = (
-                bcol.join(ce, bcol["id"] == ce["b"])
-                .groupBy(ce["a"].alias("id"))
-                .agg(F.min("bcolor").alias("smin"))
-            )
-            m = bcol.join(succ_min, "id", "left").select(
-                "id",
-                F.least(
-                    F.col("bcolor"), F.coalesce(F.col("smin"), F.col("bcolor"))
-                ).alias("m"),
-                F.col("bcolor").alias("prev"),
-            )
-            jump = m.select(F.col("id").alias("jid"), F.col("m").alias("jlbl"))
-            stepped = m.join(jump, m["m"] == jump["jid"]).select(
-                "id",
-                F.col("jlbl").alias("bcolor"),
-                (F.col("jlbl") != F.col("prev")).alias("chg"),
-            )
-            new = stepped.localCheckpoint(eager=True)
-            changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
-            kept.append(new)
-            bcol = new.select("id", "bcolor")
-            if (it + 1) % 5 == 0:
-                bcol = rdir.reset(bcol, outer * 1000 + 500 + it)
-                kept.clear()
-            if changed == 0:
-                break
+        bcol = _minlabel_fixpoint(
+            col_of.select("id", _hlabel(F.col("id")).alias("lbl")),
+            ce, rdir, outer * 1000 + 500, max_inner,
+        ).withColumnRenamed("lbl", "bcolor")
         joined = col_of.join(bcol, "id").localCheckpoint(eager=True)
-        scc_now = joined.where(F.col("bcolor") == F.col("color")).select(
-            "id", F.col("color").alias("component")
-        )
+        peeled = joined.where(F.col("bcolor") == F.col("color"))
+        # labels are hashed structs; the published component id is the min
+        # REAL id of each peeled SCC (networkx-comparable convention)
+        comp = peeled.groupBy("color").agg(F.min("id").alias("component"))
+        scc_now = peeled.join(comp, "color").select("id", "component")
         done_parts.append(scc_now.localCheckpoint(eager=True))
         rem_v = (
             joined.where(F.col("bcolor") != F.col("color"))
