@@ -75,6 +75,10 @@ def digest(
         or os.environ.get("DEEPRANK_DIGEST_MATERIALIZE")
         or "checkpoint"
     )
+    if mode not in ("checkpoint", "persist"):
+        raise ValueError(
+            f"digest materialize mode must be 'checkpoint' or 'persist', got {mode!r}"
+        )
 
     def mat(df: DataFrame) -> DataFrame:
         if mode == "persist":

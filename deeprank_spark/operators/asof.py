@@ -45,12 +45,16 @@ def asof_join(
     rtypes = dict(right.dtypes)
     pay_struct = F.struct(*[F.col(c) for c in pay])
     pay_type = f"struct<{', '.join(f'{c}:{rtypes[c]}' for c in pay)}>"
+    # tie-break column keeps right_id's NATIVE type: casting e.g. a string
+    # event id to long would turn it NULL and make same-timestamp right
+    # rows order nondeterministically
+    tb_type = rtypes[right_id] if right_id else "int"
 
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ets"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast(pay_type).alias("_r"),
     )
@@ -58,7 +62,7 @@ def asof_join(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ets"),
         F.lit(0).alias("_side"),
-        (F.col(right_id).cast("long") if right_id else F.lit(0).cast("long")).alias("_tb"),
+        (F.col(right_id) if right_id else F.lit(0)).alias("_tb"),
         F.lit(None).cast(
             f"struct<{', '.join(f'{c}:{t}' for c, t in left.dtypes)}>"
         ).alias("_l"),

@@ -42,6 +42,7 @@ def sssp_distributed(
     frontier = dist
     kept = [dist]
     rdir = _ResetDir("sssp")
+    exhausted = True
     for it in range(max_iter):
         cand = (
             frontier.join(e, frontier["id"] == e["a"])
@@ -51,6 +52,7 @@ def sssp_distributed(
         frontier = cand.join(dist, "id", "leftanti").localCheckpoint(eager=True)
         n_new = frontier.count()
         if n_new == 0:
+            exhausted = False
             break
         dist = dist.union(frontier).localCheckpoint(eager=True)
         kept.append(dist)
@@ -59,4 +61,10 @@ def sssp_distributed(
             dist = rdir.reset(dist, it)
             kept.clear()
             kept.append(frontier)
+    if exhausted:
+        # refuse-to-mislabel policy (same as scc_distributed): a truncated
+        # distance map is indistinguishable from "unreachable" downstream
+        raise RuntimeError(
+            f"sssp: frontier non-empty after {max_iter} rounds; raise max_iter"
+        )
     return rdir.finalize(dist)

@@ -226,15 +226,18 @@ def scc_distributed(
     """
     src, dst = id_cols
     spark = edges.sparkSession
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(F.col("a") != F.col("b"))
+        raw.where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # vertices come from the PRE-self-loop-filter edge set: a vertex that
+    # appears only in self-loops is a singleton SCC in networkx (the first
+    # trim pass peels it, since it has no remaining in/out edges)
     verts = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .union(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -311,6 +314,9 @@ def scc_distributed(
             f"scc_distributed: {n_rem} vertices unresolved after "
             f"{max_outer} outer rounds; raise max_outer"
         )
+    if not done_parts:
+        # empty vertex set (no edges at all): empty frame, input id type
+        return rdir.finalize(verts.select("id", F.col("id").alias("component")))
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.union(part)

@@ -76,3 +76,19 @@ def test_redact_pii_counts_and_placeholders(spark):
     )
     assert got[2]["n_redactions"] == 0 and got[2]["redacted"] == "no pii here"
     assert got[3]["n_redactions"] == 0 and got[3]["redacted"] == ""
+
+
+def test_asof_string_right_id_deterministic_tiebreak(spark):
+    """Right rows sharing (key, ts) must tie-break on right_id in its
+    NATIVE type: a string id cast to long becomes NULL and the winner was
+    arbitrary. The max string id must win (last in the window order)."""
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, "ev_a", 1.0), (1, 10, "ev_c", 3.0), (1, 10, "ev_b", 2.0)],
+        "k int, ts int, eid string, v double",
+    )
+    for _ in range(3):  # repeated runs would flap if the order were random
+        row = asof_join(
+            left, right, key="k", right_id="eid", payload=("eid", "v")
+        ).first()
+        assert row["asof_eid"] == "ev_c" and row["asof_v"] == 3.0

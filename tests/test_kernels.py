@@ -224,3 +224,35 @@ def test_scc_long_cycle_converges_logarithmically(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
     assert got == {i + 17: 17 for i in range(n)}
+
+
+def test_sssp_raises_on_budget_exhaustion(spark):
+    """Refuse-to-mislabel: an incomplete distance map must RAISE, never be
+    returned (vertices past max_iter hops would look 'unreachable')."""
+    import pytest
+
+    from deeprank_spark.operators.paths import sssp_distributed
+
+    edges = [(i, i + 1) for i in range(10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="frontier non-empty"):
+        sssp_distributed(e, source=0, directed=True, max_iter=3)
+
+
+def test_scc_distributed_self_loops_and_empty(spark):
+    """nx parity edge cases: self-loop-only vertices are singleton SCCs
+    (not dropped); an edge set that is empty after self-loop removal
+    returns an empty frame instead of raising."""
+    # graph = one 2-cycle + one vertex with only a self-loop
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (7, 7)], "src long, dst long"
+    )
+    got = {r["id"]: r["component"] for r in scc_distributed(e).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+    # all edges are self-loops
+    e2 = spark.createDataFrame([(3, 3), (4, 4)], "src long, dst long")
+    got2 = {r["id"]: r["component"] for r in scc_distributed(e2).collect()}
+    assert got2 == {3: 3, 4: 4}
+    # fully empty input
+    e3 = spark.createDataFrame([], "src long, dst long")
+    assert scc_distributed(e3).collect() == []

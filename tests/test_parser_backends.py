@@ -82,3 +82,20 @@ def test_ranks_match_oracle_on_second_backend(spark):
 def test_unknown_backend_rejected():
     with pytest.raises(ValueError):
         backends.resolve("corenlp-http")
+
+
+def test_digest_rejects_unknown_materialize_mode(spark):
+    """A typo'd materialize mode must fail loudly, not silently fall back
+    to 'checkpoint' (engine.py digest mode validation)."""
+    import pandas as pd
+    import pytest
+
+    from deeprank_spark.engine import digest as spark_digest
+
+    pdf = pd.DataFrame(
+        {"conv_id": ["c1"], "turn_idx": [0], "role": ["user"],
+         "text": ["The cat sits on the mat."], "tool": [None],
+         "ts": pd.to_datetime(["2024-01-01"])}
+    )
+    with pytest.raises(ValueError, match="materialize mode"):
+        spark_digest(transcripts_sdf(spark, pdf), materialize="presist")
