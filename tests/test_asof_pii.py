@@ -92,3 +92,55 @@ def test_asof_string_right_id_deterministic_tiebreak(spark):
             left, right, key="k", right_id="eid", payload=("eid", "v")
         ).first()
         assert row["asof_eid"] == "ev_c" and row["asof_v"] == 3.0
+
+
+def test_asof_time_bucketed_equals_plain(spark):
+    """The hot-key bucketed formulation is a pure scheduling change: for
+    EVERY bucket width the result equals the single-window path —
+    including buckets with only left rows (carry-in crosses empty
+    buckets) and ties at bucket boundaries."""
+    import random
+
+    rng = random.Random(41)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(4), _ts(rng.randrange(0, 200))) for i in range(60)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1000 + i, rng.randrange(4), _ts(rng.randrange(0, 200)), float(i))
+            for i in range(40)
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    kw = dict(key="user_id", right_id="event_id", payload=("event_id", "value"))
+    plain = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(left, right, **kw).collect()
+    }
+    for width in (60.0, 600.0, 3600.0, 1e9):  # 1 min .. one-bucket degenerate
+        got = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"])
+            for r in asof_join(left, right, time_bucket=width, **kw).collect()
+        }
+        assert got == plain, f"width={width}"
+
+
+def test_asof_time_bucket_numeric_ts_and_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1, 100.0), (2, 1, 5.0)], "event_id long, user_id long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 50.0, 7.0), (11, 1, 99.0, 8.0)],
+        "event_id long, user_id long, ts double, value double",
+    )
+    kw = dict(key="user_id", right_id="event_id", payload=("value",))
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, time_bucket=10.0, **kw).collect()
+    }
+    assert got == {1: 8.0, 2: None}
+    with pytest.raises(ValueError, match="time_bucket must be > 0"):
+        asof_join(left, right, time_bucket=0, **kw)

@@ -256,3 +256,88 @@ def test_scc_distributed_self_loops_and_empty(spark):
     # fully empty input
     e3 = spark.createDataFrame([], "src long, dst long")
     assert scc_distributed(e3).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# weighted SSSP (round-4 kernel: delta-stepping-style bucketed relaxation)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_edges(seed, n=60, m=160):
+    rng = random.Random(seed)
+    return sorted(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    ), rng
+
+
+def test_wsssp_distributed_random(spark):
+    import networkx as nx
+
+    from deeprank_spark.operators.paths import wsssp_distributed
+
+    rng = random.Random(13)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(170)})
+    rows = [(a, b, float(rng.randrange(1, 10))) for a, b in edges if a != b]
+    g = nx.Graph()
+    for a, b, w in rows:
+        # parallel-edge min-weight convention (both directions of an
+        # undirected pair collapse to the min)
+        if g.has_edge(a, b):
+            g[a][b]["weight"] = min(g[a][b]["weight"], w)
+        else:
+            g.add_edge(a, b, weight=w)
+    src = min(g.nodes)
+    exp = nx.single_source_dijkstra_path_length(g, src)
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r["id"]: r["dist"]
+        for r in wsssp_distributed(e, source=src).collect()
+    }
+    assert got == {k: float(v) for k, v in exp.items()}
+
+
+def test_wsssp_delta_invariance_and_directed(spark):
+    """delta is a scheduling knob only: any bucket width yields the same
+    exact distances; directed mode relaxes forward edges only."""
+    import networkx as nx
+
+    from deeprank_spark.operators.paths import wsssp_distributed
+
+    rng = random.Random(29)
+    rows = [
+        (a, b, float(rng.randrange(1, 8)))
+        for a, b in sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+        if a != b
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    g = nx.DiGraph()
+    for a, b, w in rows:
+        if g.has_edge(a, b):
+            g[a][b]["weight"] = min(g[a][b]["weight"], w)
+        else:
+            g.add_edge(a, b, weight=w)
+    src = min(g.nodes)
+    exp = {k: float(v) for k, v in
+           nx.single_source_dijkstra_path_length(g, src).items()}
+    for delta in (0.5, 3.0, 1e9):  # tiny buckets, mid, Bellman-Ford-like
+        got = {
+            r["id"]: r["dist"]
+            for r in wsssp_distributed(
+                e, source=src, directed=True, delta=delta
+            ).collect()
+        }
+        assert got == exp, f"delta={delta}"
+
+
+def test_wsssp_budget_and_weight_validation(spark):
+    import pytest
+
+    from deeprank_spark.operators.paths import wsssp_distributed
+
+    path = [(i, i + 1, 1.0) for i in range(12)]
+    e = spark.createDataFrame(path, "src long, dst long, w double")
+    with pytest.raises(RuntimeError, match="frontier non-empty"):
+        wsssp_distributed(e, source=0, directed=True, delta=0.5, max_iter=3)
+    bad = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="weights must be > 0"):
+        wsssp_distributed(bad, source=0)
