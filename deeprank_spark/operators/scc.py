@@ -10,11 +10,18 @@ this module closes that delta:
   components.components_per_conv). Component label = min node token of the
   SCC, so outputs are directly comparable with the networkx oracle.
 - `scc_distributed` — one giant directed graph, forward-backward coloring
-  with trimming (Orzan-style coloring / FW-BW of Hong et al., both public):
+  with trimming and Fleischer-style partition refinement (Orzan-style
+  coloring / FW-BW of Hong et al. / divide-and-conquer refinement of
+  Fleischer, Hendrickson & Pinar 2000 — all public). Round 4 added the
+  refinement: the remainder splits into independent (color, bcolor) cells
+  each round, which bounds deep DAGs (a 10k path of singleton SCCs) in
+  O(log n) expected rounds where trim-to-fixpoint alone needed
+  O(diameter)/2 passes — measured in tools/scc_dag_bench.py:
 
-    outer round:
-      1. TRIM to fixpoint: a vertex with no in-edges or no out-edges inside
-         the remaining subgraph is a singleton SCC — peel immediately.
+    outer round (propagation restricted to same-part edges; cross-part
+    edges lie on no cycle, so they are dropped):
+      1. TRIM, capped at `trim_passes`: a vertex with no in-edges or no
+         out-edges inside its part is a singleton SCC — peel immediately.
          Real link graphs are mostly acyclic, so trimming usually removes
          the bulk of the vertex set in the first round.
       2. COLOR: min-label propagation along edge direction to fixpoint,
@@ -30,7 +37,10 @@ this module closes that delta:
          mutual reachability. Peel every class's root SCC at once; the
          emitted component id is the min REAL id of each peeled SCC
          (one groupBy), matching the networkx-comparable convention.
-      4. Remove peeled vertices, keep only edges with both ends remaining.
+      4. Remove peeled vertices; REFINE the remainder's partition to
+         hash(color, bcolor) — same SCC implies same (color, bcolor), so
+         refinement never splits an SCC, and the cells recurse
+         independently in the next round (all in the same Spark job).
 
     LABELS ARE HASHED: propagation uses struct(xxhash64(id), id) — the
     hash gives a direction-agnostic random total order, the raw id breaks
@@ -55,8 +65,9 @@ Scale notes (100 TB shape): every fixpoint loop checkpoints eagerly per
 step with strong refs and periodic parquet resets (the `_ResetDir` lineage
 discipline measured in pagerank.py); all shuffles are on the vertex id;
 no collect, no per-row Python. Worst case (a long path of singleton SCCs)
-is bounded by trimming, which peels path endpoints in O(path length / 1)
-trim passes, each a cheap degree semi-join on a shrinking edge set.
+is bounded by the partition refinement, NOT by trimming: each round every
+(color, bcolor) cell recurses independently, O(log n) expected rounds
+(tools/scc_dag_bench.py records rounds + wall on a 10k path).
 """
 
 from __future__ import annotations
@@ -214,16 +225,36 @@ def _minlabel_fixpoint(
     )
 
 
+# stats of the most recent scc_distributed run (read by tools/scc_dag_bench)
+LAST_RUN_STATS: dict = {}
+
+
 def scc_distributed(
     edges: DataFrame,
     id_cols: tuple = ("src", "dst"),
     max_outer: int = 50,
     max_inner: int = 100,
+    trim_passes: int = 5,
 ) -> DataFrame:
-    """FW-BW coloring SCC on one giant directed graph.
+    """FW-BW coloring SCC with Fleischer-style partition refinement on one
+    giant directed graph. Returns (id, component), component = min vertex
+    id of the SCC.
 
-    Returns (id, component) with component = min vertex id of the SCC.
-    """
+    Each vertex carries a partition id; all propagation is restricted to
+    same-part edges, and after every round the remainder refines
+    part := hash(color, bcolor). Soundness: same SCC => same within-part
+    ancestor set => same color, and same within-class descendant set =>
+    same bcolor, so refinement never splits an SCC; conversely a
+    cross-part edge can lie on no cycle (its endpoints would otherwise be
+    one SCC and share a part), so DROPPING cross-part edges is sound.
+    Depth: every color class peels its root SCC each round and the
+    remainder splits into independent (color, bcolor) cells, giving the
+    Fleischer/Hendrickson/Pinar O(log n) expected round bound — this is
+    what bounds deep DAGs (a 10k-vertex path) where trim-to-fixpoint alone
+    would need O(diameter)/2 passes; trim is therefore CAPPED at
+    `trim_passes` per round instead of run to fixpoint (measured in
+    tools/scc_dag_bench.py; real link graphs still shed their acyclic
+    bulk in the first couple of passes)."""
     src, dst = id_cols
     spark = edges.sparkSession
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -243,41 +274,90 @@ def scc_distributed(
     )
     done_parts: list[DataFrame] = []
     rdir = _ResetDir("scc")
-    rem_v, rem_e = verts, e
+    # Loop-carried frames round-trip through PARQUET once per outer round
+    # (one _ResetDir per frame — a shared one would delete a still-live
+    # dir). localCheckpoint PRESERVES the parent plan's Catalyst stats, and
+    # SizeInBytesOnlyStatsPlanVisitor.visitJoin MULTIPLIES child
+    # sizeInBytes as BigInt — so chaining checkpointed joins round after
+    # round grows the estimate's DIGIT COUNT exponentially until the
+    # driver spends minutes inside BigInteger.multiply during planning
+    # (measured: an 11-edge graph took 464 s before this reset, ~20 s
+    # after). A parquet read re-derives real stats and cuts the chain.
+    rdir_v = _ResetDir("scc_v")
+    rdir_e = _ResetDir("scc_e")
+    rem_v = verts.select("id", F.lit(0).cast("long").alias("part")).localCheckpoint(
+        eager=True
+    )
+    rem_e = e  # invariant: both ends remaining; same-part filter each round
     n_rem = rem_v.count()
+    stats = {"outer_rounds": 0, "trim_passes": 0,
+             "peeled_by_trim": 0, "peeled_by_color": 0}
+    LAST_RUN_STATS.clear()
+    LAST_RUN_STATS.update(stats)
     for outer in range(max_outer):
-        # --- 1. trim singleton SCCs (no in- or no out-edges) to fixpoint ---
-        for _ in range(max_inner):
-            has_out = rem_e.select(F.col("a").alias("id")).distinct()
-            has_in = rem_e.select(F.col("b").alias("id")).distinct()
+        if n_rem == 0:
+            break
+        stats["outer_rounds"] = outer + 1
+        # --- 0. restrict edges to same-part pairs (sound: a cross-part
+        # edge lies on no cycle) ---
+        pe = (
+            rem_e.join(
+                rem_v.select(F.col("id").alias("a"), F.col("part").alias("pa")), "a"
+            )
+            .join(
+                rem_v.select(F.col("id").alias("b"), F.col("part").alias("pb")), "b"
+            )
+            .where(F.col("pa") == F.col("pb"))
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # --- 1. trim singleton SCCs (no in- or no out-edges within part).
+        # Trim passes are 10x cheaper than a coloring fixpoint, so keep
+        # trimming while a pass peels >= 5% of the remainder (the acyclic
+        # bulk of real link graphs drains here, as before); past
+        # `trim_passes` passes a low-yield trim (a long path peels 2 per
+        # pass) stops and the partition refinement takes over ---
+        tp = 0
+        while tp < max_inner:
+            has_out = pe.select(F.col("a").alias("id")).distinct()
+            has_in = pe.select(F.col("b").alias("id")).distinct()
             core = rem_v.join(has_out, "id", "leftsemi").join(
                 has_in, "id", "leftsemi"
             ).localCheckpoint(eager=True)
             n_core = core.count()
             if n_core == n_rem:
                 break
+            peeled_now = n_rem - n_core
+            tp += 1
+            stats["trim_passes"] += 1
+            stats["peeled_by_trim"] += peeled_now
             trimmed = rem_v.join(core, "id", "leftanti").select(
                 "id", F.col("id").alias("component")
             )
             done_parts.append(trimmed.localCheckpoint(eager=True))
+            prev = n_rem
             rem_v, n_rem = core, n_core
-            rem_e = (
-                rem_e.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
+            pe = (
+                pe.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
                 .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
                 .localCheckpoint(eager=True)
             )
+            if tp >= trim_passes and peeled_now < 0.05 * prev:
+                break  # low-yield tail: hand over to partition refinement
         if n_rem == 0:
             break
         # --- 2. color: min-label forward propagation with pointer jumping,
-        # over HASHED labels struct(xxhash64(id), id) — see module doc ---
+        # over HASHED labels struct(xxhash64(id), id) — see module doc.
+        # pe is part-restricted, so propagation never crosses parts and the
+        # fixpoint needs no part column ---
         colors = rem_v.select("id", _hlabel(F.col("id")).alias("lbl"))
         colors = _minlabel_fixpoint(
-            colors, rem_e, rdir, outer * 1000, max_inner
+            colors, pe, rdir, outer * 1000, max_inner
         ).withColumnRenamed("lbl", "color")
         # --- 3. backward: same loop on the REVERSED class-restricted edges ---
         col_of = colors.localCheckpoint(eager=True)
         ce = (
-            rem_e.join(col_of.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
+            pe.join(col_of.select(F.col("id").alias("a"), F.col("color").alias("ca")), "a")
             .join(col_of.select(F.col("id").alias("b"), F.col("color").alias("cb")), "b")
             .where(F.col("ca") == F.col("cb"))
             .select(F.col("b").alias("a"), F.col("a").alias("b"))  # reversed
@@ -290,23 +370,34 @@ def scc_distributed(
         joined = col_of.join(bcol, "id").localCheckpoint(eager=True)
         peeled = joined.where(F.col("bcolor") == F.col("color"))
         # labels are hashed structs; the published component id is the min
-        # REAL id of each peeled SCC (networkx-comparable convention)
+        # REAL id of each peeled SCC (networkx-comparable convention).
+        # color classes are globally unique (a class is named by one vertex)
         comp = peeled.groupBy("color").agg(F.min("id").alias("component"))
         scc_now = peeled.join(comp, "color").select("id", "component")
         done_parts.append(scc_now.localCheckpoint(eager=True))
+        # --- 4. refine: remainder cells (color, bcolor) are independent ---
         rem_v = (
             joined.where(F.col("bcolor") != F.col("color"))
-            .select("id")
+            .select(
+                "id",
+                F.xxhash64(
+                    F.col("color.h"), F.col("color.i"),
+                    F.col("bcolor.h"), F.col("bcolor.i"),
+                ).alias("part"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_rem = rem_v.count()
+        prev_rem, n_rem = n_rem, rem_v.count()
+        stats["peeled_by_color"] += prev_rem - n_rem
         if n_rem == 0:
             break
         rem_e = (
-            rem_e.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
+            pe.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
             .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
-            .localCheckpoint(eager=True)
         )
+        rem_v = rdir_v.reset(rem_v, outer)
+        rem_e = rdir_e.reset(rem_e, outer)
+    LAST_RUN_STATS.update(stats)
     if n_rem > 0:
         # refuse to emit wrong labels: leftover vertices are NOT known
         # singletons (outer-round budget exhausted on an adversarial chain)

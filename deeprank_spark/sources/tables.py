@@ -56,7 +56,9 @@ def write_table(
     if use_iceberg():
         w = df.writeTo(name_or_path)
         if bucket_col is not None:
-            w = w.partitionedBy(F.bucket(num_buckets, F.col(bucket_col)))
+            from pyspark.sql.functions import partitioning
+
+            w = w.partitionedBy(partitioning.bucket(num_buckets, F.col(bucket_col)))
         if mode == "overwrite":
             w.createOrReplace()
         else:

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -123,5 +124,106 @@ def running_counts(stream: DataFrame, key_col: str = "k") -> DataFrame:
         outputStructType=COUNT_OUT,
         stateStructType=_COUNT_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ASOF_OUT = StructType(
+    [
+        StructField("k", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("ts", TimestampType(), True),
+        StructField("asof_event_id", LongType(), True),
+        StructField("asof_value", DoubleType(), True),
+    ]
+)
+# last right row seen per key (the entire as-of state: O(1) per key)
+_ASOF_STATE = StructType(
+    [
+        StructField("last_eid", LongType(), True),
+        StructField("last_val", DoubleType(), True),
+    ]
+)
+
+
+def _asof_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True)
+    rights = (
+        pdf[pdf["side"] == 0]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    lefts = (
+        pdf[pdf["side"] == 1]
+        .sort_values(["ts", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    carry_eid, carry_val = (state.get if state.exists else (None, None))
+    if len(lefts):
+        # carry-in = a synthetic right row before all real timestamps;
+        # pandas merge_asof(direction='backward') then reproduces the batch
+        # asof_join exactly: exact-ts rights match, right ties resolve to
+        # the max event_id (last in sort order)
+        r = rights[["ts", "event_id", "value"]].rename(
+            columns={"event_id": "asof_event_id", "value": "asof_value"}
+        )
+        if carry_eid is not None:
+            sentinel = pd.DataFrame(
+                {
+                    "ts": [pd.Timestamp(0)],
+                    "asof_event_id": [carry_eid],
+                    "asof_value": [carry_val],
+                }
+            )
+            r = pd.concat([sentinel, r], ignore_index=True)
+        if len(r):
+            merged = pd.merge_asof(
+                lefts[["ts", "event_id"]], r, on="ts", direction="backward"
+            )
+        else:
+            merged = lefts[["ts", "event_id"]].copy()
+            merged["asof_event_id"] = None
+            merged["asof_value"] = None
+        out = pd.DataFrame(
+            {
+                "k": key[0],
+                "event_id": merged["event_id"],
+                "ts": merged["ts"],
+                "asof_event_id": merged["asof_event_id"].astype("Int64"),
+                "asof_value": merged["asof_value"],
+            }
+        )
+        yield out
+    if len(rights):
+        last = rights.iloc[-1]
+        state.update((int(last["event_id"]), float(last["value"])))
+
+
+def asof_enrich(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/asof.py asof_join (VERDICT r3 #7): each
+    LEFT row (side=1) is enriched with the latest right row (side=0) of the
+    same key at ts <= its own, carrying the last right value per key across
+    micro-batches in O(1) state via applyInPandasWithState.
+
+    Input columns: k long, ts timestamp, event_id long, side int,
+    value double. Exactness contract: within a micro-batch the operator is
+    EXACT (identical to the batch asof_join, including tie rules); across
+    batches it assumes the feed is batch-monotone in event time (a right
+    row never arrives in a later batch than a left row it should serve) —
+    the same in-order assumption the last-value-carry pattern always makes;
+    a watermark-bounded reorder buffer would relax it at the cost of
+    emission latency. The parity test replays one dataset as 1, 2, and N
+    micro-batches and checks all three against the batch operator."""
+    src = stream.select("k", "ts", "event_id", "side", "value")
+    return src.groupBy("k").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -95,3 +95,67 @@ def test_first_seen_ttl_evicts_and_reemits(spark, tmp_path):
     run(["a"], 200)           # re-occurrence after eviction -> re-emit
     ks = sorted(r["k"] for r in spark.read.parquet(out).collect())
     assert ks == ["a", "a", "b"], ks
+
+
+def test_asof_enrich_stream_matches_batch(spark, tmp_path):
+    """Streaming as-of == batch asof_join on the same data, replayed as
+    one batch AND as three time-ordered micro-batches (state carries the
+    last right value across batch boundaries)."""
+    import random
+
+    from deeprank_spark.operators.asof import asof_join
+    from deeprank_spark.streaming.stateful import asof_enrich
+
+    rng = random.Random(7)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(90):
+        rows.append(
+            (
+                rng.randrange(5),                       # k
+                base + dt.timedelta(minutes=i),         # ts (in time order)
+                1000 + i,                               # event_id
+                rng.randrange(2),                       # side
+                float(rng.randrange(100)),              # value
+            )
+        )
+    schema = "k long, ts timestamp, event_id long, side int, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    left = df.where("side = 1").select("k", "ts", "event_id")
+    right = df.where("side = 0").select("k", "ts", "event_id", "value")
+    exp = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            left, right, key="k", right_id="event_id",
+            payload=("event_id", "value"),
+        ).withColumnRenamed("asof_event_id", "asof_event_id").collect()
+    }
+
+    for n_batches in (1, 3):
+        src = str(tmp_path / f"src{n_batches}")
+        ck = str(tmp_path / f"ck{n_batches}")
+        out = str(tmp_path / f"out{n_batches}")
+        chunk = len(rows) // n_batches
+        for b in range(n_batches):
+            lo = b * chunk
+            hi = len(rows) if b == n_batches - 1 else (b + 1) * chunk
+            spark.createDataFrame(rows[lo:hi], schema).write.mode(
+                "append"
+            ).parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                asof_enrich(stream)
+                .writeStream.option("checkpointLocation", ck)
+                .format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        got = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == exp, f"n_batches={n_batches}"
