@@ -104,8 +104,15 @@ def _resolved_deps(
         F.col("word").alias("tw"),
         F.col("lemma").alias("lto"), F.col("tag").alias("lttag"),
     )
-    r = deps.join(wf, ["conv_id", "sent_id", "fw"]).join(
-        wt, ["conv_id", "sent_id", "tw"]
+    # SHUFFLE_HASH, not broadcast: w2l/noun_set are FACT-sized (they scale
+    # with the corpus — 5.5M rows at 30k convs), so the default
+    # broadcast-under-threshold plan makes the DRIVER build multimillion-
+    # entry hash relations single-threaded (~20-30 s that does not scale
+    # with cores — measured as the dominant fixed cost of the N->4N
+    # scaling job). A co-partitioned shuffle hash join scales with the
+    # data and skips the sort a merge join would add.
+    r = deps.join(wf.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "fw"]).join(
+        wt.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "tw"]
     )
     if noun_set is None:
         return r.withColumn("lto_first", F.lit(None).cast("int"))
@@ -113,7 +120,7 @@ def _resolved_deps(
         noun_set.select(
             "conv_id", F.col("lemma").alias("lto"),
             F.col("first_sent").alias("lto_first"),
-        ),
+        ).hint("SHUFFLE_HASH"),
         ["conv_id", "lto"],
         "left",
     )
@@ -290,6 +297,7 @@ def svo_table(
             F.col("o.lto").alias("obj"), F.col("o.lttag").alias("otag"),
         )
     )
-    return subj.join(obj, ["conv_id", "sent_id", "verb", "vtag"]).select(
+    # fact-fact self-join: shuffle hash, not a driver-built broadcast
+    return subj.join(obj.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "verb", "vtag"]).select(
         "conv_id", "subj", "stag", "verb", "vtag", "obj", "otag", "sent_id"
     )

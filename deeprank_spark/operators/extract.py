@@ -44,7 +44,9 @@ def adjusted_ranks(ranks: DataFrame, parsed: DataFrame) -> DataFrame:
         "avg_len",
     )
     return (
-        ranks.join(sl, ["conv_id", "kind", "key"], "left")
+        # sl is fact-sized (one row per sentence): shuffle hash join keeps
+        # the driver out of the build (see edges._resolved_deps note)
+        ranks.join(sl.hint("SHUFFLE_HASH"), ["conv_id", "kind", "key"], "left")
         .select(
             "conv_id",
             "kind",
@@ -163,7 +165,7 @@ def summary(
             "lemmas",
             F.concat_ws(" ", F.col("words")).alias("sent_text"),
             "sent_id",
-        ),
+        ).hint("SHUFFLE_HASH"),  # parsed is fact-sized: no driver broadcast
         ["conv_id", "key"],
     )
     clean = sents.where(is_clean_sent_col(F.col("lemmas")))
