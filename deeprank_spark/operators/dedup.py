@@ -309,6 +309,109 @@ def simhash_near_pairs(
     )
 
 
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring spans, the exact-substring dedup step of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) re-expressed shuffle-first: their suffix-array
+    formulation is single-machine; the distributed equivalent for fixed
+    granularity k is "every k-token window whose k-gram occurs >= min_count
+    times corpus-wide (in >= min_docs distinct docs) is duplicated", and
+    maximal duplicated spans are the k-gram hits merged by the
+    gaps-and-islands rule (two hits at p1 < p2 overlap-or-touch iff
+    p2 - p1 <= k).
+
+    Plan shape at 100 TB: tokenize + windowed k-gram hashing are pure
+    per-row expressions (no shuffle); the frequency table is one
+    map-side-combined groupBy on a 32-byte hash; the hit join is a LEFT SEMI
+    on the same hash (stop-phrase k-grams are hot keys — AQE skew-join
+    splits those partitions; the semi-join carries no payload to amplify);
+    the islands merge is one window per doc. Nothing is quadratic and no
+    suffix array has to fit anywhere.
+
+    -> (doc_id, start_tok, end_tok, n_kgrams): token offsets, end exclusive,
+    one row per maximal duplicated span. Docs shorter than k tokens have no
+    spans by construction.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("toks"),
+    ).where(F.size("toks") >= k)
+    # (doc, pos, kgram-hash) for every k-token window; sequence guard above
+    # keeps sequence() ascending (start > stop would generate a DESCENDING
+    # sequence, not an empty one).
+    kg = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+            )
+        ).alias("pos", "g"),
+    )
+    dup = (
+        kg.groupBy("g")
+        .agg(F.count("*").alias("cnt"), F.count_distinct(id_col).alias("ndocs"))
+        .where((F.col("cnt") >= min_count) & (F.col("ndocs") >= min_docs))
+        .select("g")
+    )
+    hits = kg.join(dup, "g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = F.sum(
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) > k, 1).otherwise(0)
+    ).over(w)
+    return (
+        hits.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + F.lit(k)).alias("end_tok"),
+            F.count("*").alias("n_kgrams"),
+        )
+        .select(id_col, "start_tok", "end_tok", "n_kgrams")
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate signal: what fraction of a doc's tokens sit
+    inside corpus-duplicated spans (the filter-threshold statistic of the
+    exact-substring dedup pipeline). -> (doc_id, n_tokens, dup_tokens,
+    dup_frac); docs with no duplicated span report 0/0.0."""
+    spans = duplicated_ngram_spans(docs, id_col, text_col, k, min_count, min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("end_tok") - F.col("start_tok")).alias("dup_tokens")
+    )
+    lens = docs.select(
+        F.col(id_col),
+        F.size(F.split(normalized_text(F.col(text_col)), " ")).alias("n_tokens"),
+    )
+    return (
+        lens.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -458,3 +458,93 @@ def ann_topk_ivf(
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return scored.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k_cells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup over an embedding column (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): k-means the embeddings, then within
+    each cluster drop any item whose cosine to a MORE CENTRAL cluster-mate
+    (higher similarity to the centroid; ties by smaller id) exceeds
+    `threshold` — the released screening rule, which keeps the least
+    centroid-similar representative of each duplicate neighborhood. Like
+    that reference implementation, an item is dropped if ANY more-central
+    item is near it, kept or not (the strictly-greedy "compare only against
+    kept" variant is sequential per cluster and prunes slightly less).
+
+    Scale shape: reuses the deterministic IVF pieces — centroids are a
+    k_cells-row broadcast, assignment is one broadcast argmin pass — and
+    the only superlinear step is the within-cell self-join, O(sum of
+    cell_size^2), which is exactly the cost the clustering exists to bound;
+    at 100 TB pick k_cells ~ n/1e4 so cells stay joinable, and split hot
+    cells by re-clustering (the paper's own prescription).
+
+    -> (vec_id, cell, centroid_sim, is_kept). Keep rate is data-dependent;
+    every dropped row has a kept more-central witness within `threshold`.
+    """
+    cent = ivf_centroids(corpus, k_cells=k_cells, iters=iters,
+                         id_col=id_col, vec_col=vec_col)
+    assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    ranked = (
+        corpus.select(id_col, vec_col)
+        .join(assign, id_col)
+        .join(F.broadcast(cent), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.col(vec_col).alias("v"),
+            F.round(
+                _dot(F.col(vec_col), F.col("cv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("cv"))),
+                12,
+            ).alias("centroid_sim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.desc("centroid_sim"), F.col(id_col)
+                )
+            ),
+        )
+    )
+    a = ranked.select(
+        "cell", F.col("rk").alias("rk_a"), F.col("v").alias("va")
+    )
+    b = ranked.select(
+        "cell", F.col("rk").alias("rk_b"), F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("rk_a") < F.col("rk_b"))
+        .where(
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            "centroid_sim",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )
