@@ -44,6 +44,25 @@ def test_per_conv_matches_networkx(spark):
         assert n_conv == len(exp)
 
 
+def test_per_conv_batched_equals_grouped(spark):
+    # the mapInPandas partition-batched path must reproduce the grouped
+    # applyInPandas path exactly (same per-conv float schedule; only the
+    # framework framing differs)
+    pdf = small_transcripts(n_convs=12)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    grouped = {
+        (r["conv_id"], r["kind"], r["key"]): r["rank"]
+        for r in pagerank_per_conv(d.gedges, batched=False).collect()
+    }
+    batched = {
+        (r["conv_id"], r["kind"], r["key"]): r["rank"]
+        for r in pagerank_per_conv(d.gedges, batched=True).collect()
+    }
+    assert grouped.keys() == batched.keys()
+    for k, v in grouped.items():
+        assert math.isclose(batched[k], v, rel_tol=0, abs_tol=1e-12), (k, v, batched[k])
+
+
 def test_per_conv_personalized(spark):
     pdf = tiny_transcripts()
     d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
