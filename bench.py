@@ -218,6 +218,8 @@ def run_kernel_job() -> dict:
     from deeprank_spark.transcripts import gen_transcripts_df
 
     repeats = max(1, int(os.environ.get("DEEPRANK_KERNEL_REPEATS", "2")))
+    # single-action batch job: lazy cascade fuses into the kernel shuffle
+    os.environ.setdefault("DEEPRANK_DIGEST_MATERIALIZE", "batch")
     spark = get_spark(
         app_name="deeprank-scaling", master=f"local[{CPUS}]", shuffle_partitions=32
     )

@@ -58,12 +58,15 @@ def digest(
       over these frames. On a real cluster the same seam writes a
       reliable checkpoint (parquet state table, as the superstep kernels
       do).
-    - "persist": cache + eager count, keeping lineage. Right for
-      single-action batch jobs (one flagship pass): it skips the extra
-      serialized copy and the materialization barriers, which measurably
-      cost scaling efficiency on the N->4N criterion job (the count() is
+    - "persist": cache + eager count, keeping lineage. (The count() is
       load-bearing: a lazy persist referenced from several branches of
-      ONE action recomputes the parse per branch).
+      ONE action recomputes the parse per branch.)
+    - "batch": checkpoint the parse, leave the edge cascade LAZY. Right
+      for single-action flagship jobs: the cascade's one consumer there
+      is the ranks kernel, so it fuses into the map side of the kernel's
+      conv_id shuffle instead of paying a materialize+rescan of the
+      engine's largest intermediate. Interactive layers that fire many
+      actions over d.multi_edges/d.edges want "checkpoint" instead.
 
     Env override: DEEPRANK_DIGEST_MATERIALIZE.
     """
@@ -75,9 +78,10 @@ def digest(
         or os.environ.get("DEEPRANK_DIGEST_MATERIALIZE")
         or "checkpoint"
     )
-    if mode not in ("checkpoint", "persist"):
+    if mode not in ("checkpoint", "persist", "batch"):
         raise ValueError(
-            f"digest materialize mode must be 'checkpoint' or 'persist', got {mode!r}"
+            "digest materialize mode must be 'checkpoint', 'persist' or"
+            f" 'batch', got {mode!r}"
         )
 
     def mat(df: DataFrame) -> DataFrame:
@@ -87,13 +91,26 @@ def digest(
             return df
         return df.localCheckpoint(eager=True)
 
+    # 'batch' (single-action flagship jobs): checkpoint the parse — it IS
+    # multi-consumed (cascade + svo + extraction joins) — but leave the
+    # cascade lazy: its one flagship consumer is the ranks kernel, so
+    # materializing it would pay a full write+read of the largest
+    # intermediate only to re-shuffle it by conv_id immediately after.
+    # Lazy, the whole cascade fuses into the map side of that one shuffle.
+    def mat_multi(df: DataFrame) -> DataFrame:
+        return df if mode == "batch" else mat(df)
+
     parsed = mat(parse_transcripts(transcripts, backend=p.parser_backend))
     toks = tokens_table(parsed)
-    w2l = mat(w2l_sentence(toks))
+    # lazy: since the edge cascade resolves lemmas row-locally
+    # (edges._resolved_deps_row_local), w2l's only consumer is the export
+    # fact relation — materializing its groupBy here would pay a full
+    # 9M-token shuffle per digest for nothing
+    w2l = w2l_sentence(toks)
     nouns = noun_set_table(toks)
     # the §2.3 rule cascade is the deepest expression tree in the engine —
     # materialize its output so joins/extraction analyze a flat scan
-    multi = mat(multi_edges_table(parsed, w2l, nouns, p))
+    multi = mat_multi(multi_edges_table(parsed, w2l, nouns, p))
     ed = edges_table(multi)
     ged = graph_edges(ed)
     verts = vertices_table(ged)
@@ -103,8 +120,14 @@ def digest(
 
 def ranks(d: Digest, params: CraftParams | None = None, pers: DataFrame | None = None) -> DataFrame:
     p = params or CraftParams()
+    # feed the raw cascade, not d.gedges: the kernel collapses parallel
+    # edges per-conv (np.unique inside the task), so the two corpus-wide
+    # distinct shuffles behind gedges (edges_table -> graph_edges) never
+    # run on this path — the only shuffle between the parse and the ranks
+    # is the conv_id repartition the kernel needs anyway
     raw = pagerank_per_conv(
-        d.gedges, pers=pers, alpha=p.damping, tol=p.tol, max_iter=p.max_iter
+        d.multi_edges.select("conv_id", "src_kind", "src", "dst_kind", "dst"),
+        pers=pers, alpha=p.damping, tol=p.tol, max_iter=p.max_iter,
     )
     return adjusted_ranks(raw, d.parsed)
 

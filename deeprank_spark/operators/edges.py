@@ -78,42 +78,114 @@ def noun_set_table(tokens: DataFrame) -> DataFrame:
     )
 
 
-def _resolved_deps(
-    parsed: DataFrame, w2l: DataFrame, noun_set: DataFrame | None
-) -> DataFrame:
-    """Explode deps and substitute lemmas/tags through the per-sentence w2l
-    map (two equi-joins), then attach the first-occurrence sentence of the
-    to-side lemma (one left join)."""
-    deps = parsed.select(
-        "conv_id", "sent_id", F.posexplode("deps").alias("dep_idx", "d")
-    ).select(
+def _row_local_w2l() -> bool:
+    import os
+
+    return os.environ.get("DEEPRANK_W2L_JOINS", "0") != "1"
+
+
+def _resolved_deps_row_local(parsed: DataFrame) -> DataFrame:
+    """Row-local lemma substitution: the w2l map is per (conv_id, sent_id)
+    and every dep of a sentence lives in the SAME parsed row as that
+    sentence's token arrays, so the substitution never needs to leave the
+    row — two array lookups (last occurrence of the word wins, the w2l
+    dict-overwrite semantics) replace two shuffle joins over an exploded
+    9M-token table. Per-row cost is O(|deps|·|tokens|) struct compares
+    (~900 for a 30-token turn) inside one codegen stage; the joins it
+    replaces were the largest fixed cost of the N->4N scaling job even
+    as SHUFFLE_HASH."""
+    toks = F.filter(
+        F.arrays_zip(
+            F.col("words").alias("w"),
+            F.col("lemmas").alias("l"),
+            F.col("tags").alias("t"),
+        ),
+        lambda e: F.length(e["w"]) > 0,
+    )
+    base = parsed.select(
         "conv_id",
         "sent_id",
-        "dep_idx",
-        F.col("d.fw").alias("fw"),
-        F.col("d.rel").alias("rel"),
-        F.col("d.tw").alias("tw"),
+        toks.alias("_toks"),
+        F.posexplode("deps").alias("dep_idx", "d"),
     )
-    wf = w2l.select(
-        "conv_id", "sent_id",
-        F.col("word").alias("fw"),
-        F.col("lemma").alias("lfrom"), F.col("tag").alias("lftag"),
+
+    def last_match(word):
+        # dict-overwrite semantics == last token with this surface form
+        return F.try_element_at(
+            F.filter(F.col("_toks"), lambda e: e["w"] == word), F.lit(-1)
+        )
+
+    return (
+        base.select(
+            "conv_id",
+            "sent_id",
+            "dep_idx",
+            F.col("d.fw").alias("fw"),
+            F.col("d.rel").alias("rel"),
+            F.col("d.tw").alias("tw"),
+            last_match(F.col("d.fw")).alias("_f"),
+            last_match(F.col("d.tw")).alias("_t"),
+        )
+        # inner-join semantics of the w2l probe: deps whose endpoint never
+        # appears as a (non-empty) token in the sentence are dropped
+        .where(F.col("_f").isNotNull() & F.col("_t").isNotNull())
+        .select(
+            "conv_id",
+            "sent_id",
+            "dep_idx",
+            "fw",
+            "rel",
+            "tw",
+            F.col("_f.l").alias("lfrom"),
+            F.col("_f.t").alias("lftag"),
+            F.col("_t.l").alias("lto"),
+            F.col("_t.t").alias("lttag"),
+        )
     )
-    wt = w2l.select(
-        "conv_id", "sent_id",
-        F.col("word").alias("tw"),
-        F.col("lemma").alias("lto"), F.col("tag").alias("lttag"),
-    )
-    # SHUFFLE_HASH, not broadcast: w2l/noun_set are FACT-sized (they scale
-    # with the corpus — 5.5M rows at 30k convs), so the default
-    # broadcast-under-threshold plan makes the DRIVER build multimillion-
-    # entry hash relations single-threaded (~20-30 s that does not scale
-    # with cores — measured as the dominant fixed cost of the N->4N
-    # scaling job). A co-partitioned shuffle hash join scales with the
-    # data and skips the sort a merge join would add.
-    r = deps.join(wf.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "fw"]).join(
-        wt.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "tw"]
-    )
+
+
+def _resolved_deps(
+    parsed: DataFrame, w2l: DataFrame | None, noun_set: DataFrame | None
+) -> DataFrame:
+    """Explode deps and substitute lemmas/tags through the per-sentence w2l
+    map, then attach the first-occurrence sentence of the to-side lemma
+    (one left join — the only genuinely cross-sentence step).
+
+    Default: row-local substitution (no shuffle, see
+    `_resolved_deps_row_local`). DEEPRANK_W2L_JOINS=1 restores the
+    equi-join formulation (kept as the differential twin)."""
+    if _row_local_w2l():
+        r = _resolved_deps_row_local(parsed)
+    else:
+        if w2l is None:
+            w2l = w2l_sentence(tokens_table(parsed))
+        deps = parsed.select(
+            "conv_id", "sent_id", F.posexplode("deps").alias("dep_idx", "d")
+        ).select(
+            "conv_id",
+            "sent_id",
+            "dep_idx",
+            F.col("d.fw").alias("fw"),
+            F.col("d.rel").alias("rel"),
+            F.col("d.tw").alias("tw"),
+        )
+        wf = w2l.select(
+            "conv_id", "sent_id",
+            F.col("word").alias("fw"),
+            F.col("lemma").alias("lfrom"), F.col("tag").alias("lftag"),
+        )
+        wt = w2l.select(
+            "conv_id", "sent_id",
+            F.col("word").alias("tw"),
+            F.col("lemma").alias("lto"), F.col("tag").alias("lttag"),
+        )
+        # SHUFFLE_HASH, not broadcast: w2l is FACT-sized (it scales with
+        # the corpus — 5.5M rows at 30k convs), so the default
+        # broadcast-under-threshold plan makes the DRIVER build
+        # multimillion-entry hash relations single-threaded.
+        r = deps.join(wf.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "fw"]).join(
+            wt.hint("SHUFFLE_HASH"), ["conv_id", "sent_id", "tw"]
+        )
     if noun_set is None:
         return r.withColumn("lto_first", F.lit(None).cast("int"))
     return r.join(
@@ -162,10 +234,8 @@ def multi_edges_table(
     compounds is statically false here (deepRank.py:350-351).
     """
     p = params or CraftParams()
-    if w2l is None or noun_set is None:
-        toks = tokens_table(parsed)
-        w2l = w2l_sentence(toks) if w2l is None else w2l
-        noun_set = noun_set_table(toks) if noun_set is None else noun_set
+    if noun_set is None:
+        noun_set = noun_set_table(tokens_table(parsed))
     r = _resolved_deps(parsed, w2l, noun_set)
 
     W, S = F.lit("W"), F.lit("S")
@@ -262,8 +332,6 @@ def svo_table(
     order wins each side (dict-overwrite semantics), then subj and obj sides
     equi-join on the shared verb.
     """
-    if w2l is None:
-        w2l = w2l_sentence(tokens_table(parsed))
     r = _resolved_deps(parsed, w2l, None)
     so = F.col("rel").contains("subj") | F.col("rel").contains("obj")
     vn = (

@@ -59,6 +59,18 @@ PER_CONV_SCHEMA = StructType(
 _SEP = ""  # kind is a single char; token = kind + key parses positionally
 
 
+def _dedup_pairs(src_idx: np.ndarray, dst_idx: np.ndarray, n: int):
+    """DiGraph semantics: parallel edges collapse. Accepting multi-edges
+    here lets callers feed the raw edge cascade straight into the kernel's
+    conv_id shuffle — the per-conv dedup is a local np.unique instead of a
+    full distinct shuffle over the corpus-wide edge table. Also pins the
+    bincount summation order to sorted (src, dst), independent of shuffle
+    arrival order."""
+    pairs = src_idx.astype(np.int64) * n + dst_idx.astype(np.int64)
+    uniq = np.unique(pairs)
+    return uniq // n, uniq % n
+
+
 def _power_iteration(
     src_idx: np.ndarray,
     dst_idx: np.ndarray,
@@ -68,6 +80,7 @@ def _power_iteration(
     tol: float,
     max_iter: int,
 ) -> np.ndarray:
+    src_idx, dst_idx = _dedup_pairs(src_idx, dst_idx, n)
     outdeg = np.bincount(src_idx, minlength=n).astype(np.float64)
     dangling = outdeg == 0.0
     safe_deg = np.where(dangling, 1.0, outdeg)
@@ -181,7 +194,10 @@ def pagerank_per_conv(
 ) -> DataFrame:
     """ranks(conv_id, kind, key, rank) for every conversation graph.
 
-    gedges: (conv_id, src_kind, src, dst_kind, dst) distinct edge pairs.
+    gedges: (conv_id, src_kind, src, dst_kind, dst) edge pairs — duplicates
+    allowed (DiGraph collapse happens inside the kernel via a per-conv
+    np.unique, so callers can feed the raw multi-edge cascade without
+    paying a corpus-wide distinct shuffle first).
     pers:   optional (conv_id, kind, key, weight) personalization rows.
 
     batched (default True when pers is None; env DEEPRANK_PR_BATCHED=0

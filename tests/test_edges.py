@@ -105,3 +105,36 @@ def test_edges_params_variants(spark):
                  r["dst_kind"], r["dst"], r["dst_tag"])
             )
         assert got == exp_edges, f"params={kwargs}"
+
+
+def test_row_local_w2l_matches_join_formulation(spark, monkeypatch):
+    """The row-local lemma substitution (default) and the equi-join
+    formulation (DEEPRANK_W2L_JOINS=1) must produce identical resolved
+    deps — and therefore identical multi-edges and SVOs — on a corpus
+    with repeated words (dict-overwrite ties) and parser-dropped tokens."""
+    from deeprank_spark.operators.edges import (
+        multi_edges_table,
+        svo_table,
+    )
+    from deeprank_spark.parse import parse_transcripts
+    from deeprank_spark.transcripts import gen_transcripts_df
+
+    tr = gen_transcripts_df(spark, n_convs=30, turns_per_conv=12, partitions=4)
+    parsed = parse_transcripts(tr).localCheckpoint(eager=True)
+
+    def snap():
+        multi = sorted(
+            tuple(r) for r in multi_edges_table(parsed).collect()
+        )
+        svo = sorted(tuple(r) for r in svo_table(parsed).collect())
+        return multi, svo
+
+    monkeypatch.delenv("DEEPRANK_W2L_JOINS", raising=False)
+    multi_rl, svo_rl = snap()
+    assert len(multi_rl) > 100 and len(svo_rl) > 0  # non-trivial corpus
+
+    monkeypatch.setenv("DEEPRANK_W2L_JOINS", "1")
+    multi_j, svo_j = snap()
+
+    assert multi_rl == multi_j
+    assert svo_rl == svo_j

@@ -73,11 +73,17 @@ def main(n_convs: int) -> None:
             return df
         return df.localCheckpoint(eager=True)
 
+    def mat_multi(df):
+        # batch mode: cascade stays lazy and fuses into the kernel shuffle,
+        # so its cost shows up inside pagerank_ranks (as it does in prod)
+        return df if mode == "batch" else mat(df)
+
     parsed = tick("parse", lambda: mat(parse_transcripts(tr, backend=p.parser_backend)))
     toks = tokens_table(parsed)
-    w2l = tick("w2l", lambda: mat(w2l_sentence(toks)))
+    # lazy, mirroring engine.digest: the cascade resolves lemmas row-locally
+    w2l = w2l_sentence(toks)
     nouns = noun_set_table(toks)
-    multi = tick("edge_cascade", lambda: mat(multi_edges_table(parsed, w2l, nouns, p)))
+    multi = tick("edge_cascade", lambda: mat_multi(multi_edges_table(parsed, w2l, nouns, p)))
     from deeprank_spark.operators.edges import edges_table
 
     ed = edges_table(multi)
