@@ -43,22 +43,29 @@ def adjusted_ranks(ranks: DataFrame, parsed: DataFrame) -> DataFrame:
         "sent_len",
         "avg_len",
     )
-    return (
+    # only sentence nodes take the penalty: join just the S slice (one row
+    # per turn) and union the untouched W slice back without shuffling it —
+    # word nodes are the large majority of the rank table
+    s_adj = (
+        ranks.where(F.col("kind") == "S")
         # sl is fact-sized (one row per sentence): shuffle hash join keeps
         # the driver out of the build (see edges._resolved_deps note)
-        ranks.join(sl.hint("SHUFFLE_HASH"), ["conv_id", "kind", "key"], "left")
+        .join(sl.hint("SHUFFLE_HASH"), ["conv_id", "kind", "key"], "left")
         .select(
             "conv_id",
             "kind",
             "key",
             F.when(
-                (F.col("kind") == "S") & F.col("sent_len").isNotNull(),
+                F.col("sent_len").isNotNull(),
                 F.col("rank")
                 / (1.0 + F.log1p(F.abs(F.col("sent_len") - F.col("avg_len")))),
             )
             .otherwise(F.col("rank"))
             .alias("rank"),
         )
+    )
+    return s_adj.unionByName(
+        ranks.where(F.col("kind") != "S").select("conv_id", "kind", "key", "rank")
     )
 
 
@@ -158,17 +165,19 @@ def summary(
     returned with document-order sent ids (caller sorts by turn_idx)."""
     p = params or CraftParams()
     k = k or p.sent_count
-    sents = ranks_adj.where(F.col("kind") == "S").join(
-        parsed.select(
+    # clean filter applied on the parsed side BEFORE the shuffle: dirty
+    # sentences never move, and the lemma arrays the filter reads are
+    # consumed map-side instead of being shipped through the join
+    clean = ranks_adj.where(F.col("kind") == "S").join(
+        parsed.where(is_clean_sent_col(F.col("lemmas")))
+        .select(
             "conv_id",
             F.col("sent_id").cast("string").alias("key"),
-            "lemmas",
             F.concat_ws(" ", F.col("words")).alias("sent_text"),
             "sent_id",
         ).hint("SHUFFLE_HASH"),  # parsed is fact-sized: no driver broadcast
         ["conv_id", "key"],
     )
-    clean = sents.where(is_clean_sent_col(F.col("lemmas")))
     return _topk(clean, k, partition_cols).select(
         *partition_cols,
         F.col("sent_id").alias("turn_idx"),

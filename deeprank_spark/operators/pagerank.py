@@ -38,7 +38,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -305,7 +305,8 @@ def pagerank_distributed(
     partitioning for the gather join. Contributions aggregate with Spark's
     partial (map-side) aggregation; `salt_buckets > 0` adds an explicit
     two-phase (dst, salt)->dst aggregation for power-law fan-in hubs.
-    One driver action per superstep reads back (L1 delta, dangling mass).
+    One driver action per superstep (the eager state checkpoint); the
+    (L1 delta, dangling mass) read rides it as observed metrics.
     `checkpoint_dir` makes state durable every `checkpoint_interval`
     supersteps plus a per-partition lineage table; `resume=True` restarts
     from the latest complete superstep and reproduces the identical final
@@ -463,6 +464,10 @@ def pagerank_distributed(
                 )
             summed = contribs.groupBy("id").agg(F.sum("c").alias("c"))
 
+            # convergence metrics ride the checkpoint job itself
+            # (CollectMetrics above the select, harvested by the eager
+            # materialization) — one driver action per superstep, not two
+            obs = Observation(f"pr_step_{run_id}_{step}")
             new_state = (
                 base.join(summed, "id", "left")
                 .join(state.select("id", F.col("rank").alias("prev")), "id")
@@ -476,6 +481,13 @@ def pagerank_distributed(
                     F.col("prev"),
                     F.col("dangling"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
+                    F.sum(
+                        F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                    ).alias("dm"),
+                )
                 # EAGER local checkpoint: truncates logical plan AND rdd
                 # lineage at materialization (Spark 4 LogicalRDD stats
                 # don't compound, so no parquet round-trip needed). Eager
@@ -485,10 +497,7 @@ def pagerank_distributed(
                 # and later steps cascade-recompute from scratch.
                 .localCheckpoint(eager=True)
             )
-            row = new_state.agg(
-                F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("err"),
-                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-            ).first()
+            row = obs.get
             err, dm = float(row["err"]), float(row["dm"] or 0.0)
             kept.append(new_state)
             state = new_state.select("id", "rank")
