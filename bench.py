@@ -105,7 +105,7 @@ def run_bench() -> dict:
     # whichever query happens to run first
     for t in ("orders", "lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    qs["first_occurrence"](spark, SF_DIR).count()
+    qs["topk_weighted"](spark, SF_DIR).count()
     # REPEATS runs per query, min reported (this host shows double-digit
     # CPU-steal variance between identical runs — BENCH_r02 vs a controlled
     # re-run of the same code differed 2x); the full spread is published so

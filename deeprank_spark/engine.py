@@ -110,11 +110,11 @@ def digest(
     nouns = noun_set_table(toks)
     # the §2.3 rule cascade is the deepest expression tree in the engine —
     # materialize its output so joins/extraction analyze a flat scan
-    multi = mat_multi(multi_edges_table(parsed, w2l, nouns, p))
+    multi = mat_multi(multi_edges_table(parsed, nouns, p))
     ed = edges_table(multi)
     ged = graph_edges(ed)
     verts = vertices_table(ged)
-    svo = svo_table(parsed, w2l, p)
+    svo = svo_table(parsed, p)
     return Digest(parsed, toks, w2l, nouns, multi, ed, ged, verts, svo)
 
 

@@ -145,11 +145,17 @@ def _resolved_deps_row_local(parsed: DataFrame) -> DataFrame:
 
 
 def _resolved_deps(
-    parsed: DataFrame, w2l: DataFrame | None, noun_set: DataFrame | None
+    parsed: DataFrame, noun_set: DataFrame | None
 ) -> DataFrame:
     """Explode deps and substitute lemmas/tags through the per-sentence w2l
     map, then attach the first-occurrence sentence of the to-side lemma
     (one left join — the only genuinely cross-sentence step).
+
+    The w2l map is ALWAYS the canonical per-sentence derivation of
+    `parsed` itself — there is deliberately no override parameter: the
+    row-local default computes it in-row, so a caller-supplied map could
+    only be silently ignored (advisor finding, round 4; round 5 dropped
+    the parameter rather than warn).
 
     Default: row-local substitution (no shuffle, see
     `_resolved_deps_row_local`). DEEPRANK_W2L_JOINS=1 restores the
@@ -157,8 +163,7 @@ def _resolved_deps(
     if _row_local_w2l():
         r = _resolved_deps_row_local(parsed)
     else:
-        if w2l is None:
-            w2l = w2l_sentence(tokens_table(parsed))
+        w2l = w2l_sentence(tokens_table(parsed))
         deps = parsed.select(
             "conv_id", "sent_id", F.posexplode("deps").alias("dep_idx", "d")
         ).select(
@@ -212,7 +217,6 @@ def _edge(src_kind, src, src_tag, rel, dst_kind, dst, dst_tag):
 
 def multi_edges_table(
     parsed: DataFrame,
-    w2l: DataFrame | None = None,
     noun_set: DataFrame | None = None,
     params: CraftParams | None = None,
 ) -> DataFrame:
@@ -236,7 +240,7 @@ def multi_edges_table(
     p = params or CraftParams()
     if noun_set is None:
         noun_set = noun_set_table(tokens_table(parsed))
-    r = _resolved_deps(parsed, w2l, noun_set)
+    r = _resolved_deps(parsed, noun_set)
 
     W, S = F.lit("W"), F.lit("S")
     sent_key = F.col("sent_id").cast("string")
@@ -322,7 +326,6 @@ def vertices_table(gedges: DataFrame) -> DataFrame:
 
 def svo_table(
     parsed: DataFrame,
-    w2l: DataFrame | None = None,
     params: CraftParams | None = None,
 ) -> DataFrame:
     """SVO assembly (to_svo, deepRank.py:754-772).
@@ -332,7 +335,7 @@ def svo_table(
     order wins each side (dict-overwrite semantics), then subj and obj sides
     equi-join on the shared verb.
     """
-    r = _resolved_deps(parsed, w2l, None)
+    r = _resolved_deps(parsed, None)
     so = F.col("rel").contains("subj") | F.col("rel").contains("obj")
     vn = (
         (F.substring("lftag", 1, 1) == "V")

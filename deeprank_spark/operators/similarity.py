@@ -465,6 +465,115 @@ def ann_topk_ivf(
 # ---------------------------------------------------------------------------
 
 
+def _subcell_means(seeded: DataFrame) -> DataFrame:
+    """(cell_key, sub, v) -> (cell_key, sub, cv): per-(cell, subcell)
+    centroid, same distributed posexplode->avg->reassemble shape (and the
+    same ROUND 12 determinism contract) as ivf_centroids."""
+    dims = seeded.select(
+        "cell_key", "sub",
+        F.posexplode(F.col("v").cast("array<double>")).alias("pos", "x"),
+    )
+    means = dims.groupBy("cell_key", "sub", "pos").agg(
+        F.round(F.avg("x"), 12).alias("m")
+    )
+    return means.groupBy("cell_key", "sub").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def _subcell_assign(hot_rows: DataFrame, subcent: DataFrame, id_col: str) -> DataFrame:
+    """Argmin re-assignment of hot-cell rows to their cell's subcentroids
+    (broadcast join — subcent is #hot_cells x split_factor rows). Ties
+    break on the subcell index, like ivf_assign."""
+    wa = Window.partitionBy("cell_key", id_col).orderBy("d2", "sub")
+    return (
+        hot_rows.join(F.broadcast(subcent), "cell_key")
+        .select(
+            "cell_key", id_col, "cell", "v", "sub",
+            _dist2(F.col("v"), F.col("cv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
+
+
+def _split_hot_cells(
+    rows: DataFrame,
+    cents: DataFrame,
+    cell_cap: int,
+    split_factor: int,
+    split_iters: int,
+    max_split_rounds: int,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Recursively re-cluster cells larger than `cell_cap` (SemDeDup's own
+    prescription for runaway cells, arXiv:2303.09540 §3): each round, every
+    hot cell is k-means'd into `split_factor` subcells IN ONE distributed
+    pass over all hot cells at once (no per-cell driver loop) — init is a
+    deterministic hash partition of the ids (no RNG, no per-cell sort),
+    refined by `split_iters` Lloyd rounds. Subcells that are still hot
+    split again next round; `max_split_rounds` bounds the recursion (a
+    cell of byte-identical vectors is unsplittable by construction — its
+    members MUST be pairwise compared, so the cap is best-effort there).
+
+    rows: (id, v, cell, cell_key) / cents: (cell_key, cv) — cell_key is the
+    refinement path ("3", "3.1", "3.1.0", ...); `cell` keeps the top-level
+    IVF cell for the published output schema."""
+    for _ in range(max_split_rounds):
+        hot = (
+            rows.groupBy("cell_key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > cell_cap)
+            .select("cell_key")
+            .localCheckpoint(eager=True)
+        )
+        if hot.isEmpty():  # metadata-only driver action, split path only
+            break
+        hot_rows = rows.join(F.broadcast(hot), "cell_key")
+        cold_rows = rows.join(F.broadcast(hot), "cell_key", "left_anti")
+        # init = deterministic hash partition of (id, cell_key): salting
+        # with the refinement path makes each depth's initial split
+        # different, so a re-split of the same rows cannot deterministically
+        # reproduce a collapsed round
+        seeded = hot_rows.withColumn(
+            "sub",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col("cell_key")),
+                F.lit(split_factor),
+            ).cast("int"),
+        )
+        subcent = _subcell_means(seeded).localCheckpoint(eager=True)
+        for _ in range(split_iters):
+            assigned = _subcell_assign(hot_rows, subcent, id_col)
+            subcent = _subcell_means(assigned).localCheckpoint(eager=True)
+        final = _subcell_assign(hot_rows, subcent, id_col)
+        new_key = F.concat_ws(
+            ".", F.col("cell_key"), F.col("sub").cast("string")
+        )
+        rows = cold_rows.unionByName(
+            final.select(
+                new_key.alias("cell_key"), id_col, F.col("cell"), F.col("v")
+            ).select("cell_key", id_col, "cell", "v")
+        )
+        cents = (
+            cents.join(F.broadcast(hot), "cell_key", "left_anti")
+            .unionByName(
+                subcent.select(
+                    F.concat_ws(
+                        ".", F.col("cell_key"), F.col("sub").cast("string")
+                    ).alias("cell_key"),
+                    "cv",
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rows, cents
+
+
 def semdedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -472,6 +581,11 @@ def semdedup(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_cap: int | None = None,
+    split_factor: int = 4,
+    split_iters: int = 2,
+    max_split_rounds: int = 4,
+    expose_cell_key: bool = False,
 ) -> DataFrame:
     """Semantic dedup over an embedding column (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -487,48 +601,66 @@ def semdedup(
     Scale shape: reuses the deterministic IVF pieces — centroids are a
     k_cells-row broadcast, assignment is one broadcast argmin pass — and
     the only superlinear step is the within-cell self-join, O(sum of
-    cell_size^2), which is exactly the cost the clustering exists to bound;
-    at 100 TB pick k_cells ~ n/1e4 so cells stay joinable, and split hot
-    cells by re-clustering (the paper's own prescription).
+    cell_size^2), which is exactly the cost the clustering exists to bound.
+    `cell_cap` bounds it HARD: cells above the cap are recursively
+    re-clustered (_split_hot_cells — the paper's prescription for runaway
+    cells) before the self-join, so the max task is O(cap^2) regardless of
+    how skewed the embedding distribution is; comparisons then happen
+    within the refined subcells (a deliberate approximation — the paper's
+    cluster granularity is itself the screening radius). Default
+    cell_cap=None preserves the exact single-level semantics.
 
-    -> (vec_id, cell, centroid_sim, is_kept). Keep rate is data-dependent;
-    every dropped row has a kept more-central witness within `threshold`.
+    -> (vec_id, cell, centroid_sim, is_kept); `cell` is the top-level IVF
+    cell; centroid_sim is vs the FINEST cell the item landed in.
+    Keep rate is data-dependent; every dropped row has a more-central
+    witness within `threshold` in its (refined) cell.
     """
     cent = ivf_centroids(corpus, k_cells=k_cells, iters=iters,
                          id_col=id_col, vec_col=vec_col)
     assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    ranked = (
-        corpus.select(id_col, vec_col)
+    rows = (
+        corpus.select(id_col, F.col(vec_col).alias("v"))
         .join(assign, id_col)
-        .join(F.broadcast(cent), "cell")
+        .withColumn("cell_key", F.col("cell").cast("string"))
+        .select("cell_key", id_col, "cell", "v")
+    )
+    cents = cent.select(F.col("cell").cast("string").alias("cell_key"), "cv")
+    if cell_cap is not None:
+        rows, cents = _split_hot_cells(
+            rows, cents, cell_cap, split_factor, split_iters,
+            max_split_rounds, id_col,
+        )
+    ranked = (
+        rows.join(F.broadcast(cents), "cell_key")
         .select(
             id_col,
             "cell",
-            F.col(vec_col).alias("v"),
+            "cell_key",
+            "v",
             F.round(
-                _dot(F.col(vec_col), F.col("cv"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("cv"))),
+                _dot(F.col("v"), F.col("cv"))
+                / (_norm(F.col("v")) * _norm(F.col("cv"))),
                 12,
             ).alias("centroid_sim"),
         )
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("cell").orderBy(
+                Window.partitionBy("cell_key").orderBy(
                     F.desc("centroid_sim"), F.col(id_col)
                 )
             ),
         )
     )
     a = ranked.select(
-        "cell", F.col("rk").alias("rk_a"), F.col("v").alias("va")
+        "cell_key", F.col("rk").alias("rk_a"), F.col("v").alias("va")
     )
     b = ranked.select(
-        "cell", F.col("rk").alias("rk_b"), F.col(id_col).alias("id_b"),
+        "cell_key", F.col("rk").alias("rk_b"), F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
     )
     dropped = (
-        a.join(b, "cell")
+        a.join(b, "cell_key")
         .where(F.col("rk_a") < F.col("rk_b"))
         .where(
             _dot(F.col("va"), F.col("vb"))
@@ -539,12 +671,13 @@ def semdedup(
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )
+    out_cols = [id_col, "cell", "centroid_sim"]
+    if expose_cell_key:
+        out_cols.append("cell_key")
     return (
         ranked.join(dropped, id_col, "left")
         .select(
-            id_col,
-            "cell",
-            "centroid_sim",
+            *out_cols,
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
         )
     )

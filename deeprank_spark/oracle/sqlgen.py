@@ -779,6 +779,52 @@ SELECT conv_id, src_word, dst_word, ROUND(rank, 8) AS rank FROM (
 """
 
 
+def dr_dot_sql(doc_mod: int = 50, k: int = 8) -> str:
+    """toDot end to end (S10, sources/dot.py): bestNodes(k) selection with
+    the pinned (round(rank,8) DESC, kind, node_order_key) order, both-ends
+    semi-join over the re-derived graph, DOT escaping, sorted edge lines,
+    one digraph document per conversation. chr(92) is the backslash —
+    spelled that way so the escaping survives both Python and SQL quoting."""
+    esc = (
+        "replace(replace({c}, chr(92), chr(92) || chr(92)), "
+        "'\"', chr(92) || '\"')"
+    )
+    prefix = _text_rank_prefix(f"WHERE doc_id % {doc_mod} = 0")
+    return prefix + f""",
+best AS MATERIALIZED (
+  SELECT conv_id, kind, key FROM (
+    SELECT conv_id, kind, key,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+             ORDER BY ROUND(rank, 8) DESC, kind,
+                      CASE WHEN kind = 'S' THEN lpad(key, 20, '0')
+                           ELSE key END) AS rn
+    FROM radj) WHERE rn <= {k}),
+de AS MATERIALIZED (
+  SELECT g.conv_id,
+         {esc.format(c='g.src')} AS src,
+         {esc.format(c='g.dst')} AS dst
+  FROM gedge g
+  JOIN best bs ON bs.conv_id = g.conv_id AND bs.kind = g.src_kind
+              AND bs.key = g.src
+  JOIN best bd ON bd.conv_id = g.conv_id AND bd.kind = g.dst_kind
+              AND bd.key = g.dst),
+dlines AS MATERIALIZED (
+  SELECT conv_id, '  "' || src || '" -> "' || dst || '";' AS line, src, dst
+  FROM de),
+nn AS MATERIALIZED (
+  SELECT conv_id, COUNT(DISTINCT v) AS n_nodes FROM (
+    SELECT conv_id, src AS v FROM de
+    UNION ALL SELECT conv_id, dst FROM de) GROUP BY conv_id)
+SELECT l.conv_id, CAST(nn.n_nodes AS INT) AS n_nodes,
+       CAST(COUNT(*) AS INT) AS n_edges,
+       'digraph "textgraph" {{' || chr(10) ||
+       string_agg(l.line, chr(10) ORDER BY l.line) || chr(10) ||
+       '}}' || chr(10) AS dot
+FROM dlines l JOIN nn ON nn.conv_id = l.conv_id
+GROUP BY l.conv_id, nn.n_nodes
+"""
+
+
 def dr_query_answers_sql(doc_mod: int = 50, max_answers: int = 3, sent_count: int = 5) -> str:
     """Entry-point-C oracle (operators/query.py:answer_queries): the parse
     pipeline instantiated TWICE in one statement — documents (prefix '')

@@ -42,15 +42,26 @@ def best_node_edges(
     k: int | None = None,
     node_filter: Column | None = None,
     params: CraftParams | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """toDot's edge selection (deepRank.py:636-641): graph edges whose
     BOTH endpoints are in bestNodes(k, filter). `node_filter` is a
     Column predicate over (kind, key) — e.g. kind == 'W' mirrors
     wordsToDot's isWord (deepRank.py:658-660); None keeps every kind.
 
+    giant_comp parity: reference bestNodes applies the maxcc gate
+    (deepRank.py:427) INSIDE node selection. Pass `components`
+    (components_per_conv output) to apply giant_component_gate here, or
+    pre-gate ranks_adj yourself; with neither, selection is ungated —
+    toDot parity then holds only for giant_comp=False runs.
+
     -> (conv_id, src, dst, label) with label = '' (unlabeled edges)."""
     p = params or CraftParams()
     k = k or p.dot_count
+    if components is not None:
+        from ..operators.extract import giant_component_gate
+
+        ranks_adj = giant_component_gate(ranks_adj, components)
     cand = ranks_adj if node_filter is None else ranks_adj.where(node_filter)
     best = _topk(cand, k).select("conv_id", "kind", "key")
     e = gedges.join(
@@ -113,6 +124,7 @@ def render_dot(
     name: str = "textgraph",
     min_edges: int | None = None,
     max_edges: int | None = None,
+    all_convs: DataFrame | None = None,
 ) -> DataFrame:
     """Serialize (conv_id, src, dst, label) rows into one DOT document per
     conversation.
@@ -122,12 +134,35 @@ def render_dot(
     (n_edges >= max_edges) — the latter two carry a NULL dot, mirroring
     gshow's refusal branches (vis.py:36-43). Defaults render unguarded
     like toDot -> showGraph (vis.py:7-8); pass GSHOW_MIN_EDGES /
-    GSHOW_MAX_EDGES for gshow parity."""
+    GSHOW_MAX_EDGES for gshow parity.
+
+    A conversation with ZERO edge rows cannot appear in a groupBy over
+    edge_rows; pass `all_convs` (a conv_id frame — distinct is applied
+    here) to emit those as (n_nodes=0, n_edges=0) rows so the too_small
+    branch can report them (advisor finding, round 4)."""
+    # A NULL endpoint would make `line` NULL, which collect_list silently
+    # drops while count(*) still counts it — document and metadata would
+    # disagree. Fail loudly instead: a NULL src/dst is always an upstream
+    # bug, never a renderable edge (advisor finding, round 4). The guard
+    # lives INSIDE the line expression (coalesce short-circuits, so
+    # raise_error only evaluates on NULL) — a separate dropped guard
+    # column would be pruned by Catalyst and never run.
+    def _nn(c: Column) -> Column:
+        return F.coalesce(
+            c,
+            F.raise_error(
+                F.concat(
+                    F.lit("render_dot: NULL edge endpoint in conv "),
+                    F.col("conv_id").cast("string"),
+                )
+            ).cast("string"),
+        )
+
     line = F.concat(
         F.lit('  "'),
-        _esc(F.col("src")),
+        _esc(_nn(F.col("src"))),
         F.lit('" -> "'),
-        _esc(F.col("dst")),
+        _esc(_nn(F.col("dst"))),
         F.lit('"'),
         F.when(
             F.coalesce(F.col("label"), F.lit("")) != "",
@@ -141,9 +176,23 @@ def render_dot(
                 F.flatten(F.collect_list(F.array("src", "dst")))
             )
         ).alias("n_nodes"),
-        F.count("*").alias("n_edges"),
         F.concat_ws("\n", F.sort_array(F.collect_list(line))).alias("_body"),
+        # counted from the same collected lines that form the body, so
+        # n_edges can never disagree with the document it describes
+        F.size(F.collect_list(line)).alias("n_edges"),
     )
+    if all_convs is not None:
+        per_conv = (
+            all_convs.select("conv_id")
+            .distinct()
+            .join(per_conv, "conv_id", "left")
+            .select(
+                "conv_id",
+                F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+                F.coalesce("_body", F.lit("")).alias("_body"),
+                F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            )
+        )
     status = F.lit("ok")
     if max_edges is not None:
         status = F.when(
@@ -153,8 +202,11 @@ def render_dot(
         status = F.when(
             F.col("n_edges") < min_edges, F.lit("too_small")
         ).otherwise(status)
+    # full DOT escaping for the graph name too: a trailing backslash
+    # would otherwise escape the closing quote (advisor finding, round 4)
+    escaped_name = name.replace("\\", "\\\\").replace('"', '\\"')
     doc = F.concat(
-        F.lit("digraph \"%s\" {\n" % name.replace('"', '\\"')),
+        F.lit('digraph "%s" {\n' % escaped_name),
         F.col("_body"),
         F.lit("\n}\n"),
     )

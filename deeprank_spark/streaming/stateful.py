@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -204,6 +205,138 @@ def _asof_fn(
         state.update((int(last["event_id"]), float(last["value"])))
 
 
+# Reorder-buffered as-of state: the last finalized right row (the O(1)
+# carry) plus the watermark-pending rows, column-wise as arrays (ts in
+# epoch-nanoseconds). Buffer size is bounded by delay x per-key arrival
+# rate — the standard watermark contract.
+_ASOF_RB_STATE = StructType(
+    [
+        StructField("last_eid", LongType(), True),
+        StructField("last_val", DoubleType(), True),
+        StructField("buf_ts", ArrayType(LongType()), True),
+        StructField("buf_eid", ArrayType(LongType()), True),
+        StructField("buf_side", ArrayType(LongType()), True),
+        StructField("buf_val", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _asof_rb_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+    if state.exists:
+        last_eid, last_val, b_ts, b_eid, b_side, b_val = state.get
+        b_ts, b_eid = list(b_ts or []), list(b_eid or [])
+        b_side, b_val = list(b_side or []), list(b_val or [])
+    else:
+        last_eid, last_val = None, None
+        b_ts, b_eid, b_side, b_val = [], [], [], []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        b_ts.extend(int(t.value) for t in pd.to_datetime(pdf["ts"]))
+        b_eid.extend(int(x) for x in pdf["event_id"])
+        b_side.extend(int(x) for x in pdf["side"])
+        b_val.extend(
+            float(x) if pd.notna(x) else float("nan") for x in pdf["value"]
+        )
+    buf = pd.DataFrame(
+        {"ts_ns": b_ts, "event_id": b_eid, "side": b_side, "value": b_val}
+    )
+    ready = buf[buf["ts_ns"] <= wm_ns]
+    pending = buf[buf["ts_ns"] > wm_ns]
+    if len(ready):
+        ready = ready.assign(ts=pd.to_datetime(ready["ts_ns"]))
+        rights = (
+            ready[ready["side"] == 0]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        lefts = (
+            ready[ready["side"] == 1]
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(lefts):
+            r = rights[["ts", "event_id", "value"]].rename(
+                columns={"event_id": "asof_event_id", "value": "asof_value"}
+            )
+            if last_eid is not None:
+                sentinel = pd.DataFrame(
+                    {
+                        "ts": [pd.Timestamp(0)],
+                        "asof_event_id": [last_eid],
+                        "asof_value": [last_val],
+                    }
+                )
+                r = pd.concat([sentinel, r], ignore_index=True)
+            if len(r):
+                merged = pd.merge_asof(
+                    lefts[["ts", "event_id"]], r, on="ts",
+                    direction="backward",
+                )
+            else:
+                merged = lefts[["ts", "event_id"]].copy()
+                merged["asof_event_id"] = None
+                merged["asof_value"] = None
+            yield pd.DataFrame(
+                {
+                    "k": key[0],
+                    "event_id": merged["event_id"],
+                    "ts": merged["ts"],
+                    "asof_event_id": merged["asof_event_id"].astype("Int64"),
+                    "asof_value": merged["asof_value"],
+                }
+            )
+        if len(rights):
+            last = rights.iloc[-1]
+            last_eid, last_val = int(last["event_id"]), float(last["value"])
+    state.update(
+        (
+            last_eid,
+            last_val,
+            [int(x) for x in pending["ts_ns"]],
+            [int(x) for x in pending["event_id"]],
+            [int(x) for x in pending["side"]],
+            [float(x) for x in pending["value"]],
+        )
+    )
+    if len(pending):
+        # re-arm: fire as soon as the watermark next advances so buffered
+        # rows finalize even if this key never receives another record
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+
+
+def asof_enrich_reordered(stream: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """asof_enrich without the batch-monotone assumption (VERDICT r4 #5):
+    rows are held in a per-key reorder buffer until the EVENT-TIME
+    watermark (max observed ts minus `delay`) passes them, then finalized
+    in timestamp order — so a right row arriving up to `delay` late (in a
+    later micro-batch than a left row it should serve) still lands in
+    front of that left row before either is processed. Within the
+    watermark the result is EXACTLY the batch asof_join, whatever the
+    arrival order; rows later than `delay` are the documented residual
+    (the same contract every watermarked Spark aggregation makes).
+
+    Left rows are emitted only once finalized, so emission latency is
+    `delay` — the price of reordering. EventTimeTimeout re-fires keys with
+    buffered rows on every watermark advance, so a key flushes even if it
+    never receives another record; a replay/backfill should append one
+    final far-future row (any key) to push the watermark past the tail.
+    Input/output schemas identical to asof_enrich."""
+    src = stream.select("k", "ts", "event_id", "side", "value").withWatermark(
+        "ts", delay
+    )
+    return src.groupBy("k").applyInPandasWithState(
+        _asof_rb_fn,
+        outputStructType=ASOF_OUT,
+        stateStructType=_ASOF_RB_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def asof_enrich(stream: DataFrame) -> DataFrame:
     """Streaming twin of operators/asof.py asof_join (VERDICT r3 #7): each
     LEFT row (side=1) is enriched with the latest right row (side=0) of the
@@ -216,9 +349,10 @@ def asof_enrich(stream: DataFrame) -> DataFrame:
     batches it assumes the feed is batch-monotone in event time (a right
     row never arrives in a later batch than a left row it should serve) —
     the same in-order assumption the last-value-carry pattern always makes;
-    a watermark-bounded reorder buffer would relax it at the cost of
-    emission latency. The parity test replays one dataset as 1, 2, and N
-    micro-batches and checks all three against the batch operator."""
+    asof_enrich_reordered relaxes it with a watermark-bounded reorder
+    buffer at the cost of emission latency. The parity test replays one
+    dataset as 1, 2, and N micro-batches and checks all three against the
+    batch operator."""
     src = stream.select("k", "ts", "event_id", "side", "value")
     return src.groupBy("k").applyInPandasWithState(
         _asof_fn,

@@ -130,3 +130,86 @@ def test_svo_and_all_edges_shapes(spark):
     )
     doc2 = render_dot(all_edges_dot(me)).collect()[0]["dot"]
     assert '  "dog" -> "chase" [label="NN_subj_VB"];' in doc2
+
+
+def test_render_dot_rejects_null_endpoints(spark):
+    """A NULL src/dst is an upstream bug: render_dot must fail loudly
+    instead of silently dropping the line from the body while counting it
+    in n_edges (advisor finding, round 4)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("c1", "a", None, ""), ("c1", "a", "b", "")],
+        "conv_id string, src string, dst string, label string",
+    )
+    with pytest.raises(Exception, match="NULL edge endpoint|ASSERT"):
+        render_dot(df).collect()
+
+
+def test_render_dot_escapes_backslash_in_name(spark):
+    """A graph name ending in a backslash must not escape the closing
+    quote (advisor finding, round 4)."""
+    df = spark.createDataFrame(
+        [("c1", "a", "b", "")],
+        "conv_id string, src string, dst string, label string",
+    )
+    doc = render_dot(df, name='we"ird\\').collect()[0]["dot"]
+    assert doc.splitlines()[0] == 'digraph "we\\"ird\\\\" {'
+
+
+def test_render_dot_reports_zero_edge_conversations(spark):
+    """With all_convs, a conversation with no edge rows surfaces as an
+    (n_nodes=0, n_edges=0) row so gshow's too_small branch can report it
+    (advisor finding, round 4)."""
+    edges = spark.createDataFrame(
+        [("c1", "a", "b", ""), ("c1", "b", "c", ""), ("c1", "c", "a", "")],
+        "conv_id string, src string, dst string, label string",
+    )
+    convs = spark.createDataFrame([("c1",), ("c2",), ("c2",)], "conv_id string")
+    got = {
+        r["conv_id"]: r
+        for r in render_dot(
+            edges, min_edges=GSHOW_MIN_EDGES, max_edges=GSHOW_MAX_EDGES,
+            all_convs=convs,
+        ).collect()
+    }
+    assert set(got) == {"c1", "c2"}
+    assert got["c1"]["status"] == "ok" and got["c1"]["n_edges"] == 3
+    assert got["c2"]["status"] == "too_small"
+    assert got["c2"]["n_edges"] == 0 and got["c2"]["n_nodes"] == 0
+    assert got["c2"]["dot"] is None
+
+
+def test_best_node_edges_applies_giant_comp_gate(spark):
+    """Passing `components` must equal pre-gating ranks_adj with
+    giant_component_gate (toDot giant_comp parity, advisor finding r4)."""
+    from deeprank_spark.operators.extract import giant_component_gate
+
+    gedges = spark.createDataFrame(
+        [
+            ("c", "W", "a", "W", "b"),
+            ("c", "W", "b", "W", "c"),
+            ("c", "W", "x", "W", "y"),
+        ],
+        "conv_id string, src_kind string, src string, dst_kind string, dst string",
+    )
+    ranks = spark.createDataFrame(
+        [("c", "W", k, r) for k, r in
+         [("a", 0.5), ("b", 0.4), ("c", 0.3), ("x", 0.9), ("y", 0.8)]],
+        "conv_id string, kind string, key string, rank double",
+    )
+    comps = spark.createDataFrame(
+        [("c", "W", k, c) for k, c in
+         [("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"), ("y", "X")]],
+        "conv_id string, kind string, key string, component string",
+    )
+    via_param = best_node_edges(gedges, ranks, k=10, components=comps)
+    via_pregate = best_node_edges(
+        gedges, giant_component_gate(ranks, comps), k=10
+    )
+    a = sorted(map(tuple, via_param.collect()))
+    b = sorted(map(tuple, via_pregate.collect()))
+    assert a == b
+    # the 2-component conversation gates to the larger component: the x->y
+    # edge (higher-ranked but smaller component) must be gone
+    assert all(r[1] not in ("x", "y") for r in a) and len(a) == 2

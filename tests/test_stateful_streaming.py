@@ -159,3 +159,75 @@ def test_asof_enrich_stream_matches_batch(spark, tmp_path):
             for r in spark.read.parquet(out).collect()
         }
         assert got == exp, f"n_batches={n_batches}"
+
+
+def test_asof_enrich_reordered_tolerates_late_rights(spark, tmp_path):
+    """asof_enrich_reordered == batch asof_join even when right rows arrive
+    one micro-batch LATE (after left rows they should serve) — the case the
+    plain carry operator's batch-monotone assumption excludes (VERDICT r4
+    next-round #5). Two far-future flush rows (filtered out of the result)
+    push the event-time watermark past the real data so every buffered row
+    finalizes inside the availableNow replay."""
+    import random
+
+    from deeprank_spark.operators.asof import asof_join
+    from deeprank_spark.streaming.stateful import asof_enrich_reordered
+
+    rng = random.Random(13)
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(80):
+        rows.append(
+            (
+                rng.randrange(4),
+                base + dt.timedelta(minutes=i),
+                1000 + i,
+                rng.randrange(2),
+                float(rng.randrange(100)),
+            )
+        )
+    schema = "k long, ts timestamp, event_id long, side int, value double"
+    df = spark.createDataFrame(rows, schema)
+    left = df.where("side = 1").select("k", "ts", "event_id")
+    right = df.where("side = 0").select("k", "ts", "event_id", "value")
+    exp = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(
+            left, right, key="k", right_id="event_id",
+            payload=("event_id", "value"),
+        ).collect()
+    }
+
+    # arrival schedule: every third right row of the first half arrives in
+    # batch 2, AFTER the batch-1 lefts it must serve (out-of-order feed)
+    half = [r for r in rows if r[1] < base + dt.timedelta(minutes=40)]
+    rest = [r for r in rows if r[1] >= base + dt.timedelta(minutes=40)]
+    late = [r for i, r in enumerate(half) if r[3] == 0 and i % 3 == 0]
+    b1 = [r for r in half if r not in late]
+    b2 = late + rest
+    flush1 = [(999, base + dt.timedelta(days=1), 99998, 1, 0.0)]
+    flush2 = [(999, base + dt.timedelta(days=1, minutes=1), 99999, 1, 0.0)]
+    assert late, "fixture must actually delay some right rows"
+
+    src = str(tmp_path / "rb_src")
+    ck = str(tmp_path / "rb_ck")
+    out = str(tmp_path / "rb_out")
+    for batch in (b1, b2, flush1, flush2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            asof_enrich_reordered(stream, delay="2 hours")
+            .writeStream.option("checkpointLocation", ck)
+            .format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in spark.read.parquet(out).collect()
+        if r["k"] != 999
+    }
+    assert got == exp

@@ -83,7 +83,7 @@ def main(n_convs: int) -> None:
     # lazy, mirroring engine.digest: the cascade resolves lemmas row-locally
     w2l = w2l_sentence(toks)
     nouns = noun_set_table(toks)
-    multi = tick("edge_cascade", lambda: mat_multi(multi_edges_table(parsed, w2l, nouns, p)))
+    multi = tick("edge_cascade", lambda: mat_multi(multi_edges_table(parsed, nouns, p)))
     from deeprank_spark.operators.edges import edges_table
 
     ed = edges_table(multi)
@@ -91,7 +91,7 @@ def main(n_convs: int) -> None:
     from deeprank_spark.operators.edges import vertices_table
 
     verts = vertices_table(ged)
-    svo = svo_table(parsed, w2l, p)
+    svo = svo_table(parsed, p)
     d = engine.Digest(parsed, toks, w2l, nouns, multi, ed, ged, verts, svo)
 
     r = tick("pagerank_ranks", lambda: (lambda x: (x.persist(), x.count())[0])(
