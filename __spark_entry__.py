@@ -4,10 +4,11 @@ entry(spark): flagship text-graph pipeline (digest -> PageRank -> summary)
 over the sf0.001 documents corpus.
 
 queries()/oracle_sql(): one entry per implemented operator family from
-SURVEY.md §2 (+ the training-data ops). 59 of the 60 queries carry DuckDB
-value-hash oracles (porter_stems is the one rows-only entry: the Porter
-measure cascade is not SQL-expressible; its exactness is pinned by the
-1980 paper's example vectors in pytest) — including the fixed-schedule distributed PageRank
+SURVEY.md §2 (+ the training-data ops). All 50 queries carry DuckDB
+value-hash oracles (porter_stems joins the live tokenization against a
+checked-in Porter2 stem dictionary: the Snowball rule cascade is not
+SQL-expressible, the mapping is; exactness is pinned by the spec-derived
+vectors in tests/test_porter2.py) — including the fixed-schedule distributed PageRank
 (unrolled CTE), multi-table ANN LSH (md5-derived hyperplanes recomputed in
 SQL), dr_components (full parse→edges→CC re-derivation, oracle/sqlgen.py)
 and, new in round 2, every float-ranked output via a RECURSIVE
@@ -1409,14 +1410,15 @@ def q_word_variants(spark, sf_dir):
     return word_variants(toks).select("word", "variant")
 
 
-# Porter stem dictionary for the VALUES oracle below: generated ONCE by the
-# pytest-pinned implementation (functions/porter.py, exactness pinned by the
-# 75 published example vectors of Porter 1980 in tests/test_variants.py)
-# over the union of the sf0.001/sf0.01/sf0.1 vocabularies, then checked in
-# as data. The word set in the oracle still comes LIVE from the documents
-# table (same tokenizer as the Spark side); the inner join means any vocab
-# drift shows up as a row-count mismatch instead of a silent pass.
-_PORTER_DICT_SQL = "(VALUES ('agg', 'agg'), ('batch', 'batch'), ('big', 'big'), ('column', 'column'), ('customer', 'custom'), ('data', 'data'), ('dup', 'dup'), ('fast', 'fast'), ('filter', 'filter'), ('group', 'group'), ('hash', 'hash'), ('join', 'join'), ('key', 'kei'), ('line', 'line'), ('merge', 'merg'), ('order', 'order'), ('part', 'part'), ('query', 'queri'), ('row', 'row'), ('scan', 'scan'), ('slow', 'slow'), ('small', 'small'), ('sort', 'sort'), ('spark', 'spark'), ('stream', 'stream'), ('table', 'tabl'), ('the', 'the'), ('value', 'valu'), ('vector', 'vector'), ('window', 'window')) AS d(word, stem)"
+# Porter2 stem dictionary for the VALUES oracle below: generated ONCE by
+# the pytest-pinned implementation (functions/porter2.py, the exact
+# Snowball english algorithm the reference's snowball/3 call resolves to,
+# branch coverage pinned by tests/test_porter2.py) over the union of the
+# sf0.001/sf0.01/sf0.1 vocabularies, then checked in as data. The word set
+# in the oracle still comes LIVE from the documents table (same tokenizer
+# as the Spark side); the inner join means any vocab drift shows up as a
+# row-count mismatch instead of a silent pass.
+_PORTER_DICT_SQL = "(VALUES ('agg', 'agg'), ('batch', 'batch'), ('big', 'big'), ('column', 'column'), ('customer', 'custom'), ('data', 'data'), ('dup', 'dup'), ('fast', 'fast'), ('filter', 'filter'), ('group', 'group'), ('hash', 'hash'), ('join', 'join'), ('key', 'key'), ('line', 'line'), ('merge', 'merg'), ('order', 'order'), ('part', 'part'), ('query', 'queri'), ('row', 'row'), ('scan', 'scan'), ('slow', 'slow'), ('small', 'small'), ('sort', 'sort'), ('spark', 'spark'), ('stream', 'stream'), ('table', 'tabl'), ('the', 'the'), ('value', 'valu'), ('vector', 'vector'), ('window', 'window')) AS d(word, stem)"
 
 _PORTER_SQL = (
     "WITH toks AS (SELECT DISTINCT UNNEST(list_filter("
@@ -1428,19 +1430,22 @@ _PORTER_SQL = (
 
 
 def q_porter_stems(spark, sf_dir):
-    """Porter (1980) stems of the distinct token vocabulary of every 100th
-    document — the real-stemmer half of F9 (the reference's
-    snowball(english, W, V), qpro.pro:296; the light suffix stemmer stays
-    inside the SQL-oracled word_variants expression). Vectorized Arrow
-    batch UDF (functions/porter.py), no per-row Python in the plan's
-    JVM stages. Value-checked since round 4: the oracle joins the live
-    DuckDB tokenization against a checked-in stem dictionary generated
-    once by this implementation (exactness pinned by the 1980 paper's
-    published example vectors in tests/test_variants.py) — the rule
-    cascade itself is not SQL-expressible, the mapping is."""
+    """Porter2 (Snowball english) stems of the distinct token vocabulary
+    of every 100th document — the real-stemmer half of F9, now the EXACT
+    algorithm the reference's snowball(english, W, V) call resolves to
+    (qpro.pro:296; SWI wraps libstemmer's english = Porter2 2002; the
+    light suffix stemmer stays inside the SQL-oracled word_variants
+    expression, and classic Porter 1980 remains in functions/porter.py
+    as the published-paper anchor). Vectorized Arrow batch UDF
+    (functions/porter2.py), no per-row Python in the plan's JVM stages.
+    Value-checked since round 4: the oracle joins the live DuckDB
+    tokenization against a checked-in stem dictionary generated once by
+    this implementation (branch coverage pinned by the spec-derived
+    vectors in tests/test_porter2.py) — the rule cascade itself is not
+    SQL-expressible, the mapping is."""
     import pandas as pd
 
-    from deeprank_spark.functions.porter import stem_series
+    from deeprank_spark.functions.porter2 import stem2_series as stem_series
 
     toks = (
         _load(spark, sf_dir, "documents")

@@ -12,11 +12,17 @@
 This module re-expresses the enumeration as ONE Catalyst array expression
 (`word_variants_col`): higher-order `transform` over a position sequence
 generates deletions/transpositions JVM-side — no UDF, no explode until the
-caller wants one. Divergence (documented, SURVEY §2.8): the container has
-no snowball library, so the stem slot uses the same deterministic suffix
-stripper the tagger/lemmatizer family uses (`_stem_col`, a Porter-step-1
-style rule chain); on a cluster the stem slot is swappable for a real
-snowball dimension table without touching the enumeration.
+caller wants one. Two stem-slot modes (round 5):
+
+- default: the light deterministic suffix stripper (`_stem_col`, a
+  Porter-step-1 style rule chain) keeps the whole enumeration a pure
+  Catalyst expression, fully SQL-oracled (contract word_variants);
+- `word_variants_snowball`: reference-exact — the stem slot is the real
+  snowball-english (Porter2) stemmer, exactly what qpro.pro:296 calls,
+  applied via a stem DIMENSION table built from the distinct vocabulary
+  (the scalable shape for a Python-backed scalar at 100 TB: the Arrow
+  stage runs over |vocab| rows, not |corpus| rows, and the join back is
+  a vocab-sized equi-join Catalyst can broadcast).
 """
 
 from __future__ import annotations
@@ -74,14 +80,16 @@ def _transpositions(w: Column) -> Column:
     )
 
 
-def word_variants_col(w: Column) -> Column:
+def word_variants_col(w: Column, stem: Column | None = None) -> Column:
     """word_variant_of/2 as one array expression: sorted distinct variants
-    (the Prolog `sort/2` on the lexical slice + set semantics overall)."""
+    (the Prolog `sort/2` on the lexical slice + set semantics overall).
+    `stem` overrides the stem slot (see word_variants_snowball); default
+    is the in-expression light stripper."""
     low = F.lower(w)
     # Capitalized = upper(first char of W) + rest of W UNCHANGED
     # (qpro.pro:300-302 operates on W's codes, not LowerW's)
     cap = F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1 << 30))
-    lex = F.array(w, low, cap, _stem_col(low))
+    lex = F.array(w, low, cap, stem if stem is not None else _stem_col(low))
     missp = F.when(
         F.length(w) >= MIN_MISSPELL_LEN,
         F.concat(
@@ -96,3 +104,33 @@ def word_variants(df: DataFrame, word_col: str = "word") -> DataFrame:
     return df.withColumn(
         "variant", F.explode(word_variants_col(F.col(word_col)))
     )
+
+
+def word_variants_snowball(df: DataFrame, word_col: str = "word") -> DataFrame:
+    """Reference-exact word_variant_of/2: the stem slot is the real
+    snowball-english (Porter2) stem of lowercase(W), qpro.pro:296.
+
+    Scale shape: Porter2 is a Python rule cascade, so instead of running
+    an Arrow stage over every input row, stem the DISTINCT lowercase
+    vocabulary once into a dimension table and equi-join it back — the
+    Python cost is O(|vocab|), the join is vocab-sized (Catalyst
+    broadcasts it when stats allow), and the variant enumeration itself
+    stays a single JVM-side Catalyst array expression."""
+    import pandas as pd
+
+    from deeprank_spark.functions.porter2 import stem2_series
+
+    w = F.col(word_col)
+    vocab = df.select(F.lower(w).alias("__low")).distinct()
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"__low": pdf["__low"], "__stem": stem2_series(pdf["__low"])}
+            )
+
+    dim = vocab.mapInPandas(run, "__low string, __stem string")
+    joined = df.join(dim, F.lower(w) == dim["__low"])
+    return joined.withColumn(
+        "variant", F.explode(word_variants_col(w, F.col("__stem")))
+    ).drop("__low", "__stem")

@@ -126,10 +126,61 @@ def test_porter_idempotent_and_safe():
 
 
 def test_porter_stems_query(spark):
+    # The contract row uses Porter2 (the exact snowball-english algorithm
+    # the reference calls) since round 5 — see tests/test_porter2.py for
+    # the rule-branch vectors.
     import __spark_entry__ as e
-    from deeprank_spark.functions.porter import porter_stem
+    from deeprank_spark.functions.porter2 import porter2_stem
 
     rows = e.q_porter_stems(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 20  # sf0.001's 5 sampled docs have a small vocabulary
     for r in rows:
-        assert r["stem"] == porter_stem(r["word"].lower()), r
+        assert r["stem"] == porter2_stem(r["word"].lower()), r
+
+
+# ---------------------------------------------------------------------------
+# Snowball-slot variants (round 5 — reference-exact stem dimension table)
+# ---------------------------------------------------------------------------
+
+
+def _variants_snowball_py(w: str) -> list[str]:
+    """qpro.pro:287-317 with the REAL snowball slot (Porter2)."""
+    from deeprank_spark.functions.porter2 import porter2_stem
+
+    low = w.lower()
+    cap = w[:1].upper() + w[1:]
+    out = {w, low, cap, porter2_stem(low)}
+    if len(w) >= 5:
+        for v in (w, low):
+            for i in range(len(v)):
+                out.add(v[:i] + v[i + 1:])
+            for i in range(len(v) - 1):
+                out.add(v[:i] + v[i + 1] + v[i] + v[i + 2:])
+    return sorted(out)
+
+
+def test_word_variants_snowball_matches_reference_port(spark):
+    from deeprank_spark.functions.variants import word_variants_snowball
+
+    # include words where Porter2 differs from both the light stripper
+    # and classic Porter (generate, dying, skies), plus duplicates to
+    # prove the dimension-table join preserves input multiplicity
+    words = WORDS + ["generate", "Dying", "skies", "communism", "spark"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = (
+        word_variants_snowball(df)
+        .groupBy("word")
+        .agg(F.sort_array(F.collect_set("variant")).alias("vs"))
+        .collect()
+    )
+    by_word = {r["word"]: r["vs"] for r in got}
+    for w in set(words):
+        assert by_word[w] == _variants_snowball_py(w), w
+    # multiplicity: 'spark' appears twice in the input, so its exploded
+    # variants appear twice each
+    n = (
+        word_variants_snowball(df)
+        .where(F.col("word") == "spark")
+        .count()
+    )
+    assert n == 2 * len(_variants_snowball_py("spark"))
