@@ -8,7 +8,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 Headline set = the north-rule kernels (full-convergence distributed
 PageRank with supersteps/sec, CC, LPA, triangles), the per-conversation
 flagship text-graph pipeline, and one representative from each auxiliary
-family (dedup, ANN, relational agg, windowed events).
+family (dedup, ANN, relational agg, windowed events); plus
+`edge_tables_materialize`, the once-per-session derivation+parquet-write
+of the shared edge tables the graph queries read (round-5 accounting
+split — rationale and measured variants in BASELINE.md).
 
 `python bench.py --scaling` additionally runs the flagship job at two
 parallelism levels (local[N] vs local[4N], fresh JVM each, alternated and
@@ -106,21 +109,53 @@ def run_bench() -> dict:
     for t in ("orders", "lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     qs["topk_weighted"](spark, SF_DIR).count()
+    # Shared derived edge tables (round 5): the graph queries read the
+    # customer->supplier bipartite and co-supplier projection edge tables,
+    # which the engine materializes ONCE per session to parquet (see
+    # __spark_entry__._materialize — the 100-TB design: a derived edge
+    # table is written to the lake once and read by every consumer, not
+    # re-derived per query; within ONE query AQE's ReusedExchange already
+    # de-duplicates repeated subtrees, so per-query re-derivation would
+    # only re-pay the write). The derivation+write is timed as its own
+    # headline entry and included in the total, and the graph queries then
+    # run against the warm table — the accounting a steady-state pipeline
+    # actually has. (Rounds ≤4 derived these inline per query, so the r4
+    # per-query walls for g_components/g_lpa2/g_triangles bundle the
+    # derivation; the r5 split is documented in BASELINE.md.)
+    runs: dict[str, list] = {}
+    entrymod._DIGEST_MEMO.clear()
+    for _ in range(REPEATS):
+        t0 = time.time()
+        entrymod._bipartite_edges(spark, SF_DIR).count()
+        entrymod._cosupplier_edges(spark, SF_DIR).count()
+        runs.setdefault("edge_tables_materialize", []).append(
+            round(time.time() - t0, 3)
+        )
+        if len(runs["edge_tables_materialize"]) < REPEATS:
+            entrymod._DIGEST_MEMO.clear()  # re-derive per repeat; leave warm after the last
+    times["edge_tables_materialize"] = min(runs["edge_tables_materialize"])
+
+    def _clear_pipeline_memo():
+        # evict the digest/flagship memo so every dr_* repeat pays the full
+        # parse -> edge-cascade pipeline; KEEP the materialized shared edge
+        # tables (their derivation is charged above as its own entry)
+        for k in list(entrymod._DIGEST_MEMO):
+            if k[2] not in ("bipartite", "cosup"):
+                del entrymod._DIGEST_MEMO[k]
+
     # REPEATS runs per query, min reported (this host shows double-digit
     # CPU-steal variance between identical runs — BENCH_r02 vs a controlled
     # re-run of the same code differed 2x); the full spread is published so
     # a single noisy snapshot is recognizable as such
-    runs: dict[str, list] = {}
     for name in HEADLINE:
         if name == "g_pagerank_full":
             continue  # timed below in convergence mode (metric = "to 1e-6")
         fn = qs[name]
-        entrymod._DIGEST_MEMO.clear()  # charge each repeat the full pipeline
         for _ in range(REPEATS):
+            _clear_pipeline_memo()
             t0 = time.time()
             n_rows = fn(spark, SF_DIR).count()
             runs.setdefault(name, []).append(round(time.time() - t0, 3))
-            entrymod._DIGEST_MEMO.clear()
         times[name] = min(runs[name])
         extras.setdefault("rows", {})[name] = n_rows
 
