@@ -175,3 +175,24 @@ def test_no_uppercase_marker_leaks():
     ]
     for w in words:
         assert porter2_stem(w) == porter2_stem(w).lower(), w
+
+
+def test_porter2_fuzz_never_crashes_or_leaks():
+    """Property fuzz over random letter strings (incl. y/Y-heavy and
+    apostrophe forms): always returns a nonempty lowercase-or-original
+    string, never the Y marker, never raises."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'y", min_size=0, max_size=20))
+    def run(w):
+        s = porter2_stem(w)
+        assert isinstance(s, str)
+        assert "Y" not in s
+        if len(w) > 2:
+            assert s  # stemming never empties a real word
+        # stems never grow by more than the +e of step 1b
+        assert len(s) <= len(w) + 1
+
+    run()
