@@ -95,10 +95,27 @@ def parse_transcripts(transcripts: DataFrame, backend: str | None = None) -> Dat
     """transcripts(conv_id, turn_idx, ..., text) -> parsed.
 
     `backend` names a parser plugin (nlp/backends.py); None = the default
-    (or the DEEPRANK_PARSER_BACKEND env override)."""
+    (or the DEEPRANK_PARSER_BACKEND env override).
+
+    Width guard: a small corpus arrives as ONE parquet file -> one
+    partition (file splitting only kicks in above maxPartitionBytes), and
+    everything from the Arrow parse to the first shuffle then runs on a
+    single core regardless of cluster size — measured 1-partition parse +
+    cascade on a 32-thread session before this guard. When the input is
+    narrower than the session's parallelism, round-robin repartition
+    BEFORE the parse: the parse output (the engine's widest table) is
+    what must be spread, and a narrow pre-parse shuffle of raw text is
+    the cheapest place to buy that. Wide inputs (the 100-TB case: many
+    files, thousands of partitions) are left untouched — no extra
+    shuffle."""
     src = transcripts.select(
         "conv_id", F.col("turn_idx").cast("int").alias("sent_id"), "text"
     )
+    sc = src.sparkSession.sparkContext
+    width = src.rdd.getNumPartitions()
+    target = sc.defaultParallelism
+    if width < target // 2:
+        src = src.repartition(target)
     return src.mapInPandas(_parse_batches_for(backend), schema=PARSED_SCHEMA)
 
 
