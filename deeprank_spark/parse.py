@@ -111,11 +111,11 @@ def parse_transcripts(transcripts: DataFrame, backend: str | None = None) -> Dat
     src = transcripts.select(
         "conv_id", F.col("turn_idx").cast("int").alias("sent_id"), "text"
     )
-    sc = src.sparkSession.sparkContext
-    width = src.rdd.getNumPartitions()
-    target = sc.defaultParallelism
-    if width < target // 2:
-        src = src.repartition(target)
+    if not src.isStreaming:  # .rdd is illegal on a stream; micro-batches
+        # inherit the source's own partitioning there
+        target = src.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target // 2:
+            src = src.repartition(target)
     return src.mapInPandas(_parse_batches_for(backend), schema=PARSED_SCHEMA)
 
 
