@@ -108,7 +108,10 @@ def run_bench() -> dict:
     # whichever query happens to run first
     for t in ("orders", "lineitem", "documents", "embeddings", "events"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    qs["topk_weighted"](spark, SF_DIR).count()
+    # warm with a NON-headline query (q_first_occurrence retired from the
+    # contract in round 4 but kept in the module): warming with a timed
+    # headline entry would bias that one query's measurement
+    entrymod.q_first_occurrence(spark, SF_DIR).count()
     # Shared derived edge tables (round 5): the graph queries read the
     # customer->supplier bipartite and co-supplier projection edge tables,
     # which the engine materializes ONCE per session to parquet (see

@@ -130,7 +130,9 @@ def word_variants_snowball(df: DataFrame, word_col: str = "word") -> DataFrame:
             )
 
     dim = vocab.mapInPandas(run, "__low string, __stem string")
-    joined = df.join(dim, F.lower(w) == dim["__low"])
+    # null-safe equality: a NULL word must keep its row (the default-mode
+    # word_variants emits one), not vanish through the dimension join
+    joined = df.join(dim, F.lower(w).eqNullSafe(dim["__low"]))
     return joined.withColumn(
         "variant", F.explode(word_variants_col(w, F.col("__stem")))
     ).drop("__low", "__stem")

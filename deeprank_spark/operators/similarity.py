@@ -533,6 +533,12 @@ def _split_hot_cells(
         )
         if hot.isEmpty():  # metadata-only driver action, split path only
             break
+        # split path only: this round references `rows` many times
+        # (cold_rows, hot_rows -> seeded/subcent x split_iters/final) and
+        # the next round's rows frame references it twice more — without
+        # truncation the plan and every action's replay of the
+        # corpus->assign subtree double per round
+        rows = rows.localCheckpoint(eager=True)
         hot_rows = rows.join(F.broadcast(hot), "cell_key")
         cold_rows = rows.join(F.broadcast(hot), "cell_key", "left_anti")
         # init = deterministic hash partition of (id, cell_key): salting

@@ -182,10 +182,14 @@ def render_dot(
         F.size(F.collect_list(line)).alias("n_edges"),
     )
     if all_convs is not None:
+        # FULL outer, not left: all_convs ADDS zero-edge conversations; a
+        # left join would silently DROP conversations that have edges but
+        # are missing from the caller's frame (e.g. edge_rows derived from
+        # a wider corpus than all_convs was built from)
         per_conv = (
             all_convs.select("conv_id")
             .distinct()
-            .join(per_conv, "conv_id", "left")
+            .join(per_conv, "conv_id", "full")
             .select(
                 "conv_id",
                 F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),

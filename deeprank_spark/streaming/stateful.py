@@ -166,22 +166,16 @@ def _asof_fn(
     )
     carry_eid, carry_val = (state.get if state.exists else (None, None))
     if len(lefts):
-        # carry-in = a synthetic right row before all real timestamps;
-        # pandas merge_asof(direction='backward') then reproduces the batch
+        # pandas merge_asof(direction='backward') reproduces the batch
         # asof_join exactly: exact-ts rights match, right ties resolve to
-        # the max event_id (last in sort order)
+        # the max event_id (last in sort order). The carry-in (last right
+        # value from earlier batches) fills the lefts NO in-batch right
+        # serves, AFTER the merge — a prepended epoch-0 sentinel row would
+        # violate merge_asof's sorted-key precondition for data at or
+        # before the Unix epoch (backfills), crashing the batch.
         r = rights[["ts", "event_id", "value"]].rename(
             columns={"event_id": "asof_event_id", "value": "asof_value"}
         )
-        if carry_eid is not None:
-            sentinel = pd.DataFrame(
-                {
-                    "ts": [pd.Timestamp(0)],
-                    "asof_event_id": [carry_eid],
-                    "asof_value": [carry_val],
-                }
-            )
-            r = pd.concat([sentinel, r], ignore_index=True)
         if len(r):
             merged = pd.merge_asof(
                 lefts[["ts", "event_id"]], r, on="ts", direction="backward"
@@ -190,6 +184,10 @@ def _asof_fn(
             merged = lefts[["ts", "event_id"]].copy()
             merged["asof_event_id"] = None
             merged["asof_value"] = None
+        if carry_eid is not None:
+            unmatched = merged["asof_event_id"].isna()
+            merged.loc[unmatched, "asof_event_id"] = carry_eid
+            merged.loc[unmatched, "asof_value"] = carry_val
         out = pd.DataFrame(
             {
                 "k": key[0],
@@ -259,18 +257,11 @@ def _asof_rb_fn(
             .reset_index(drop=True)
         )
         if len(lefts):
+            # same sentinel-free carry fill as _asof_fn (epoch-0 sentinel
+            # rows break merge_asof's sorted precondition on backfills)
             r = rights[["ts", "event_id", "value"]].rename(
                 columns={"event_id": "asof_event_id", "value": "asof_value"}
             )
-            if last_eid is not None:
-                sentinel = pd.DataFrame(
-                    {
-                        "ts": [pd.Timestamp(0)],
-                        "asof_event_id": [last_eid],
-                        "asof_value": [last_val],
-                    }
-                )
-                r = pd.concat([sentinel, r], ignore_index=True)
             if len(r):
                 merged = pd.merge_asof(
                     lefts[["ts", "event_id"]], r, on="ts",
@@ -280,6 +271,10 @@ def _asof_rb_fn(
                 merged = lefts[["ts", "event_id"]].copy()
                 merged["asof_event_id"] = None
                 merged["asof_value"] = None
+            if last_eid is not None:
+                unmatched = merged["asof_event_id"].isna()
+                merged.loc[unmatched, "asof_event_id"] = last_eid
+                merged.loc[unmatched, "asof_value"] = last_val
             yield pd.DataFrame(
                 {
                     "k": key[0],
@@ -324,7 +319,20 @@ def asof_enrich_reordered(stream: DataFrame, delay: str = "10 minutes") -> DataF
     buffered rows on every watermark advance, so a key flushes even if it
     never receives another record; a replay/backfill should append one
     final far-future row (any key) to push the watermark past the tail.
-    Input/output schemas identical to asof_enrich."""
+    Input/output schemas identical to asof_enrich.
+
+    Requires spark.sql.session.timeZone=UTC (the engine's session default,
+    session.py): the reorder buffer compares the micro-batch's tz-naive
+    pandas timestamps against getCurrentWatermarkMs(), which is UTC epoch
+    millis — under any other session zone the ready/pending split would be
+    silently shifted by the zone offset, so refuse loudly instead."""
+    tz = stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+        raise ValueError(
+            "asof_enrich_reordered requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the watermark comparison is in UTC epoch time "
+            "and tz-naive batch timestamps would be offset-shifted"
+        )
     src = stream.select("k", "ts", "event_id", "side", "value").withWatermark(
         "ts", delay
     )

@@ -213,3 +213,25 @@ def test_best_node_edges_applies_giant_comp_gate(spark):
     # the 2-component conversation gates to the larger component: the x->y
     # edge (higher-ranked but smaller component) must be gone
     assert all(r[1] not in ("x", "y") for r in a) and len(a) == 2
+
+
+def test_all_convs_full_outer_keeps_extra_edge_convs(spark):
+    """Regression (round-5 review): all_convs ADDS zero-edge conversations
+    but must never DROP conversations that have edges while missing from
+    the caller's frame (previously a left join silently removed them)."""
+    from deeprank_spark.sources.dot import render_dot
+
+    edges = spark.createDataFrame(
+        [("c1", "a", "b", None), ("extra", "x", "y", None)],
+        "conv_id string, src string, dst string, label string",
+    )
+    all_convs = spark.createDataFrame(
+        [("c1",), ("c2",)], "conv_id string"
+    )
+    got = {
+        r["conv_id"]: (r["n_edges"], r["n_nodes"])
+        for r in render_dot(edges, all_convs=all_convs).collect()
+    }
+    assert set(got) == {"c1", "c2", "extra"}
+    assert got["c2"] == (0, 0)       # added zero-edge conversation
+    assert got["extra"] == (1, 2)    # edge-bearing conversation preserved

@@ -231,3 +231,83 @@ def test_asof_enrich_reordered_tolerates_late_rights(spark, tmp_path):
         if r["k"] != 999
     }
     assert got == exp
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the per-key fns."""
+
+    def __init__(self, value=None, wm_ms=0):
+        self._v = value
+        self._wm = wm_ms
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+
+def test_asof_fn_carry_with_epoch_boundary_backfill():
+    """Regression (round-5 review): the old carry implementation prepended
+    a pd.Timestamp(0) sentinel right row, which violates merge_asof's
+    sorted-key precondition whenever a buffered row has ts <= epoch —
+    backfills of 1969/1970 data crashed the batch. The carry is now a
+    post-merge fill; pre-epoch lefts must take the carry, post-right
+    lefts must take the in-batch right."""
+    import pandas as pd
+
+    from deeprank_spark.streaming.stateful import _asof_fn
+
+    state = _FakeState(value=(500, 7.0))  # carry from an earlier batch
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 4,
+            "ts": pd.to_datetime(
+                [
+                    "1969-12-31 23:00:00",  # left BEFORE epoch -> carry
+                    "1970-01-01 00:00:00",  # left AT epoch -> carry
+                    "1970-01-01 01:00:00",  # right
+                    "1970-01-01 02:00:00",  # left after right -> right
+                ]
+            ),
+            "event_id": [10, 11, 20, 12],
+            "side": [1, 1, 0, 1],
+            "value": [None, None, 3.0, None],
+        }
+    )
+    [out] = list(_asof_fn((1,), iter([pdf]), state))
+    by_eid = {r.event_id: (r.asof_event_id, r.asof_value) for r in out.itertuples()}
+    assert by_eid[10] == (500, 7.0)
+    assert by_eid[11] == (500, 7.0)
+    assert by_eid[12] == (20, 3.0)
+    assert state.get == (20, 3.0)  # carry advanced to the new last right
+
+
+def test_asof_reordered_refuses_non_utc_session(spark):
+    """Regression (round-5 review): the reorder buffer compares tz-naive
+    batch timestamps to the UTC-epoch watermark; any other session zone
+    silently shifts the ready/pending split, so the operator refuses."""
+    import pytest as _pytest
+
+    from deeprank_spark.streaming.stateful import asof_enrich_reordered
+
+    schema = "k long, ts timestamp, event_id long, side int, value double"
+    df = spark.createDataFrame([], schema)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        with _pytest.raises(ValueError, match="timeZone"):
+            asof_enrich_reordered(df)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -184,3 +184,19 @@ def test_word_variants_snowball_matches_reference_port(spark):
         .count()
     )
     assert n == 2 * len(_variants_snowball_py("spark"))
+
+
+def test_word_variants_snowball_keeps_null_rows(spark):
+    """Regression (round-5 review): the stem dimension join is null-safe —
+    a NULL word keeps its row in both stem-slot modes."""
+    from deeprank_spark.functions.variants import (
+        word_variants,
+        word_variants_snowball,
+    )
+
+    df = spark.createDataFrame([("spark",), (None,)], "word string")
+    assert word_variants_snowball(df).count() == word_variants(df).count()
+    null_rows = (
+        word_variants_snowball(df).where(F.col("word").isNull()).collect()
+    )
+    assert len(null_rows) == 1 and null_rows[0]["variant"] is None
