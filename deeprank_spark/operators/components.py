@@ -18,12 +18,15 @@ import atexit
 import os
 import shutil
 import tempfile
+import time
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+from .superstep import KernelRun, SuperstepCheckpointer
 
 
 class _ResetDir:
@@ -130,6 +133,11 @@ def components_distributed(
     max_iter: int = 100,
     jump_every: int = 2,
     jump_after: int = 4,
+    checkpoint_dir: str | None = None,
+    run_id: str = "cc",
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    return_run: bool = False,
 ) -> DataFrame:
     """Hash-min label exchange WITH periodic pointer jumping on one giant
     graph.
@@ -167,7 +175,20 @@ def components_distributed(
 
     Returns (id, component) with component = min vertex id of the
     component.
+
+    Durable runs (north rule): `checkpoint_dir` writes the label state to
+    parquet every `checkpoint_interval` rounds (and on convergence) plus a
+    per-partition lineage table and _DONE markers — the same on-disk
+    protocol as pagerank_distributed (see operators/superstep.py).
+    `resume=True` restarts from the newest complete round; each round is a
+    pure function of (previous labels, absolute round number — the jump
+    schedule keys off it), so the resumed run reproduces the uninterrupted
+    labels exactly. `return_run=True` returns a KernelRun handle with
+    per-round (changed, wall_ms) iteration metrics instead of the bare
+    DataFrame.
     """
+    spark = edges.sparkSession
+    t0 = time.time()
     src, dst = id_cols
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
@@ -176,16 +197,38 @@ def components_distributed(
         .distinct()
         .cache()
     )
-    labels = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "component"))
+        if durable
+        else None
     )
+    rounds = 0
+    converged = False
+    metrics = []
+    labels = None
+    if durable and resume:
+        st, done_rounds, was_converged = ckpt.resume(spark)
+        if st is not None:
+            labels = st.select("id", "component")
+            rounds = done_rounds
+            converged = was_converged
+    if labels is None:
+        labels = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+
     kept = []  # strong refs: keep checkpoint blocks alive between resets
     rdir = _ResetDir("cc")
-    for it in range(max_iter):
+    last_written = rounds if durable and resume else -1
+    changed = None
+    while not converged and rounds < max_iter:
+        it = rounds  # absolute round index: the jump schedule keys off it
+        it0 = time.time()
         nbr_min = (
             labels.join(sym, labels["id"] == sym["a"])
             .groupBy(sym["b"].alias("id"))
@@ -217,10 +260,29 @@ def components_distributed(
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         kept.append(new)
         labels = new.select("id", "component")
-        if (it + 1) % 5 == 0:
+        rounds = it + 1
+        wall_ms = (time.time() - it0) * 1000.0
+        converged = changed == 0
+        metrics.append({"round": rounds, "changed": int(changed), "wall_ms": wall_ms})
+        if durable and (rounds % checkpoint_interval == 0 or converged):
+            labels = ckpt.write(labels, rounds, wall_ms, changed, converged)
+            last_written = rounds
+            kept.clear()
+        elif (rounds % 5) == 0:
             labels = rdir.reset(labels, it)
             kept.clear()
-        if changed == 0:
-            break
+    if durable and rounds > last_written:
+        # max_iter cap hit between checkpoints: persist the final round so a
+        # resumed run restarts here instead of replaying from the last write
+        labels = ckpt.write(
+            labels,
+            rounds,
+            metrics[-1]["wall_ms"] if metrics else 0.0,
+            changed if changed is not None else -1,
+            converged,
+        )
     sym.unpersist()
-    return rdir.finalize(labels)
+    out = labels if durable else rdir.finalize(labels)
+    if return_run:
+        return KernelRun(out, rounds, metrics, time.time() - t0, converged)
+    return out

@@ -9,6 +9,8 @@ can 2-cycle on bipartite structures, the cap bounds it).
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -82,11 +84,29 @@ def lpa_per_conv(gedges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def lpa_distributed(
-    edges: DataFrame, id_cols: tuple = ("src", "dst"), max_iter: int = 20
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    run_id: str = "lpa",
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    return_run: bool = False,
 ) -> DataFrame:
     """Distributed synchronous LPA: neighbor-label histogram via groupBy +
     max_by(struct(count, -label)) argmax with min-label tie-break.
-    Returns (id, label)."""
+    Returns (id, label).
+
+    Durable runs (north rule): `checkpoint_dir` + `resume=True` give
+    per-round parquet label state, a per-partition lineage table and
+    restart from the newest complete round — the shared protocol in
+    operators/superstep.py (same layout as pagerank/components). Sync-LPA
+    rounds are pure functions of the previous labels, so a resumed run
+    reproduces the uninterrupted labels exactly. `return_run=True` wraps
+    the result in a KernelRun with per-round (changed, wall_ms) metrics.
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
     src, dst = id_cols
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
@@ -95,18 +115,41 @@ def lpa_distributed(
         .distinct()
         .cache()
     )
-    labels = (
-        e.select(F.col("a").alias("id"))
-        .union(e.select(F.col("b").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
-    )
     from .components import _ResetDir
+    from .superstep import KernelRun, SuperstepCheckpointer
+
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "label"))
+        if durable
+        else None
+    )
+    rounds = 0
+    converged = False
+    metrics = []
+    labels = None
+    if durable and resume:
+        st, done_rounds, was_converged = ckpt.resume(spark)
+        if st is not None:
+            labels = st.select("id", "label")
+            rounds = done_rounds
+            converged = was_converged
+    if labels is None:
+        labels = (
+            e.select(F.col("a").alias("id"))
+            .union(e.select(F.col("b").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+            .localCheckpoint(eager=True)
+        )
 
     kept = []  # strong refs: keep checkpoint blocks alive between resets
     rdir = _ResetDir("lpa")
-    for it in range(max_iter):
+    last_written = rounds if durable and resume else -1
+    changed = None
+    while not converged and rounds < max_iter:
+        it = rounds
+        it0 = time.time()
         hist = (
             labels.join(sym, labels["id"] == sym["a"])
             .groupBy(sym["b"].alias("id"), F.col("label"))
@@ -131,10 +174,29 @@ def lpa_distributed(
         changed = new.agg(F.sum(F.col("chg").cast("long"))).first()[0] or 0
         kept.append(new)
         labels = new.select("id", "label")
-        if (it + 1) % 5 == 0:
+        rounds = it + 1
+        wall_ms = (time.time() - it0) * 1000.0
+        converged = changed == 0
+        metrics.append({"round": rounds, "changed": int(changed), "wall_ms": wall_ms})
+        if durable and (rounds % checkpoint_interval == 0 or converged):
+            labels = ckpt.write(labels, rounds, wall_ms, changed, converged)
+            last_written = rounds
+            kept.clear()
+        elif (rounds % 5) == 0:
             labels = rdir.reset(labels, it)
             kept.clear()
-        if changed == 0:
-            break
+    if durable and rounds > last_written:
+        # max_iter cap hit between checkpoints (sync LPA can 2-cycle, the
+        # cap is part of the spec): persist the final round for resume
+        labels = ckpt.write(
+            labels,
+            rounds,
+            metrics[-1]["wall_ms"] if metrics else 0.0,
+            changed if changed is not None else -1,
+            converged,
+        )
     sym.unpersist()
-    return rdir.finalize(labels)
+    out = labels if durable else rdir.finalize(labels)
+    if return_run:
+        return KernelRun(out, rounds, metrics, time.time() - t0, converged)
+    return out

@@ -1,0 +1,121 @@
+"""Durable superstep checkpoint protocol for the distributed label kernels.
+
+The north rule requires checkpointed rank/LABEL state per superstep with a
+per-partition lineage table and iteration metrics, resumable mid-run.
+pagerank.py carries that machinery for rank state (pagerank.py:550,
+_write_superstep / _completed_supersteps / read_lineage); this module is the
+same on-disk protocol factored for the label kernels (connected components,
+label propagation), so one external auditor can read any kernel's run
+directory the same way:
+
+    <checkpoint_dir>/<run_id>/superstep=<k>/   parquet state at round k
+    <checkpoint_dir>/<run_id>/lineage/         (superstep, partition_id,
+                                                rows, checksum, wall_ms)
+    <checkpoint_dir>/<run_id>/_DONE_<k>        json marker: round complete
+
+Resume scans the _DONE markers (local FS here; the Hadoop FileSystem API on
+a cluster — the marker protocol is identical), re-reads the newest complete
+round's parquet and restarts the loop at that round number. Label rounds
+are pure functions of (previous labels, absolute round number), so a
+resumed run reproduces the uninterrupted run's labels exactly — pinned by
+tests/test_kernels.py's bitwise resume tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class KernelRun:
+    """Result handle for a distributed label kernel: final labels plus the
+    iteration metrics the north rule asks for (per-round changed-vertex
+    count and wall time)."""
+
+    def __init__(self, labels: DataFrame, rounds: int, metrics: list,
+                 wall_s: float, converged: bool):
+        self.labels = labels
+        self.rounds = rounds
+        self.metrics = metrics
+        self.wall_s = wall_s
+        self.converged = converged
+
+
+class SuperstepCheckpointer:
+    """Writes one kernel run's durable rounds under <checkpoint_dir>/<run_id>.
+
+    state_cols: the columns whose values define the state (hashed into the
+    per-partition lineage checksum), e.g. ("id", "component").
+    """
+
+    def __init__(self, checkpoint_dir: str, run_id: str, state_cols: tuple):
+        self.base = os.path.join(checkpoint_dir, run_id)
+        self.state_cols = tuple(state_cols)
+        os.makedirs(self.base, exist_ok=True)
+
+    def completed(self) -> list:
+        out = []
+        if not os.path.isdir(self.base):
+            return out
+        for name in os.listdir(self.base):
+            if name.startswith("_DONE_"):
+                out.append(int(name.split("_DONE_")[1]))
+        return sorted(out)
+
+    def resume(self, spark: SparkSession):
+        """(state, rounds_done, converged) from the newest complete round,
+        or (None, 0, False) when nothing durable exists yet."""
+        done = self.completed()
+        if not done:
+            return None, 0, False
+        step = max(done)
+        with open(os.path.join(self.base, f"_DONE_{step}")) as f:
+            meta = json.load(f)
+        state = spark.read.parquet(os.path.join(self.base, f"superstep={step}"))
+        return state, step, bool(meta.get("converged", False))
+
+    def write(self, state: DataFrame, step: int, wall_ms: float,
+              changed: int, converged: bool) -> DataFrame:
+        """Parquet the round's state (the real lineage truncation point),
+        append its per-partition lineage rows, drop the _DONE marker, and
+        return the re-read frame (lineage rooted at the durable parquet)."""
+        path = os.path.join(self.base, f"superstep={step}")
+        state.write.mode("overwrite").parquet(path)
+        self._lineage_rows(state, step, wall_ms).write.mode("append").parquet(
+            os.path.join(self.base, "lineage")
+        )
+        with open(os.path.join(self.base, f"_DONE_{step}"), "w") as f:
+            json.dump(
+                {
+                    "superstep": step,
+                    "wall_ms": wall_ms,
+                    "changed": int(changed),
+                    "converged": bool(converged),
+                },
+                f,
+            )
+        return state.sparkSession.read.parquet(path)
+
+    def _lineage_rows(self, state: DataFrame, step: int, wall_ms: float) -> DataFrame:
+        return (
+            state.select(
+                F.spark_partition_id().alias("partition_id"),
+                F.xxhash64(*self.state_cols).alias("h"),
+            )
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("checksum"))
+            .select(
+                F.lit(step).alias("superstep"),
+                "partition_id",
+                "rows",
+                "checksum",
+                F.lit(float(wall_ms)).alias("wall_ms"),
+            )
+        )
+
+
+def read_kernel_lineage(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(checkpoint_dir, run_id, "lineage"))
