@@ -13,10 +13,22 @@ unreachable vertices are absent, matching networkx.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import _ResetDir
+from .superstep import KernelRun, SuperstepCheckpointer
+
+
+def _frontier_state(dist: DataFrame, frontier: DataFrame) -> DataFrame:
+    """One durable frame for a (dist map, frontier) pair: (id, dist,
+    frontier bool). The frontier is always a subset of the dist map with
+    the map's own dist values, so the pair round-trips losslessly."""
+    return dist.join(
+        frontier.select("id", F.lit(True).alias("frontier")), "id", "left"
+    ).select("id", "dist", F.coalesce("frontier", F.lit(False)).alias("frontier"))
 
 
 def sssp_distributed(
@@ -25,25 +37,64 @@ def sssp_distributed(
     id_cols: tuple = ("src", "dst"),
     directed: bool = False,
     max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    run_id: str = "sssp",
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    return_run: bool = False,
 ) -> DataFrame:
-    """-> (id, dist) for every vertex reachable from `source`."""
+    """-> (id, dist) for every vertex reachable from `source`.
+
+    Durable runs: `checkpoint_dir` persists the (dist, frontier) state as
+    (id, dist, frontier) every `checkpoint_interval` rounds and on
+    convergence — the shared superstep protocol (operators/superstep.py).
+    Budget exhaustion still RAISES (refuse-to-mislabel), but a durable run
+    persists the final frontier state first, so `resume=True` with a
+    larger max_iter CONTINUES the search instead of restarting; rounds are
+    pure functions of (dist, frontier), so the resumed distances equal the
+    uninterrupted run's exactly.
+    """
     src, dst = id_cols
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     e = e.where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
     spark = edges.sparkSession
-    dist = spark.createDataFrame([(source, 0)], "id long, dist int").localCheckpoint(
-        eager=True
+    t0 = time.time()
+
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "dist", "frontier"))
+        if durable
+        else None
     )
-    # frontier-based BFS: each round relaxes only the edges leaving the
-    # vertices discovered last round (unweighted => a settled vertex never
-    # improves), so per-round cost is O(frontier out-degree), not O(|V|)
-    frontier = dist
+    rounds = 0
+    converged = False
+    metrics = []
+    dist = frontier = None
+    if durable and resume:
+        st, done_rounds, was_converged = ckpt.resume(spark)
+        if st is not None:
+            dist = st.select("id", "dist")
+            frontier = st.where("frontier").select("id", "dist")
+            rounds = done_rounds
+            converged = was_converged
+    if dist is None:
+        dist = spark.createDataFrame(
+            [(source, 0)], "id long, dist int"
+        ).localCheckpoint(eager=True)
+        # frontier-based BFS: each round relaxes only the edges leaving the
+        # vertices discovered last round (unweighted => a settled vertex
+        # never improves), so per-round cost is O(frontier out-degree),
+        # not O(|V|)
+        frontier = dist
+
     kept = [dist]
     rdir = _ResetDir("sssp")
-    exhausted = True
-    for it in range(max_iter):
+    last_written = rounds if durable and resume else -1
+    n_new = None
+    while not converged and rounds < max_iter:
+        it0 = time.time()
         cand = (
             frontier.join(e, frontier["id"] == e["a"])
             .groupBy(e["b"].alias("id"))
@@ -51,23 +102,46 @@ def sssp_distributed(
         )
         frontier = cand.join(dist, "id", "leftanti").localCheckpoint(eager=True)
         n_new = frontier.count()
-        if n_new == 0:
-            exhausted = False
-            break
-        dist = dist.union(frontier).localCheckpoint(eager=True)
-        kept.append(dist)
-        kept.append(frontier)
-        if (it + 1) % 5 == 0:
-            dist = rdir.reset(dist, it)
+        if n_new > 0:
+            dist = dist.union(frontier).localCheckpoint(eager=True)
+            kept.append(dist)
+            kept.append(frontier)
+        rounds += 1
+        wall_ms = (time.time() - it0) * 1000.0
+        converged = n_new == 0
+        metrics.append({"round": rounds, "new": int(n_new), "wall_ms": wall_ms})
+        if durable and (rounds % checkpoint_interval == 0 or converged):
+            st = ckpt.write(
+                _frontier_state(dist, frontier), rounds, wall_ms, n_new, converged
+            )
+            dist = st.select("id", "dist")
+            frontier = st.where("frontier").select("id", "dist")
+            last_written = rounds
+            kept.clear()
+        elif (rounds % 5) == 0:
+            dist = rdir.reset(dist, rounds)
             kept.clear()
             kept.append(frontier)
-    if exhausted:
+    if not converged:
+        if durable and rounds > last_written:
+            # persist the in-flight frontier so a resume with a larger
+            # budget continues the search instead of restarting
+            ckpt.write(
+                _frontier_state(dist, frontier),
+                rounds,
+                metrics[-1]["wall_ms"] if metrics else 0.0,
+                n_new if n_new is not None else -1,
+                False,
+            )
         # refuse-to-mislabel policy (same as scc_distributed): a truncated
         # distance map is indistinguishable from "unreachable" downstream
         raise RuntimeError(
             f"sssp: frontier non-empty after {max_iter} rounds; raise max_iter"
         )
-    return rdir.finalize(dist)
+    out = dist if durable else rdir.finalize(dist)
+    if return_run:
+        return KernelRun(out, rounds, metrics, time.time() - t0, converged)
+    return out
 
 
 def wsssp_distributed(
@@ -78,6 +152,11 @@ def wsssp_distributed(
     directed: bool = False,
     delta: float | None = None,
     max_iter: int = 500,
+    checkpoint_dir: str | None = None,
+    run_id: str = "wsssp",
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    return_run: bool = False,
 ) -> DataFrame:
     """Weighted single-source shortest paths -> (id, dist double) for every
     reachable vertex (nx.single_source_dijkstra_path_length semantics;
@@ -97,6 +176,13 @@ def wsssp_distributed(
     (relax) + one merge join, under the same eager-checkpoint `_ResetDir`
     lineage discipline as the other kernels. Raises (refuse-to-mislabel)
     if the frontier is still non-empty after max_iter rounds.
+
+    Durable runs: same protocol as sssp_distributed — (id, dist, frontier)
+    persisted every `checkpoint_interval` rounds and before the budget
+    raise, `resume=True` continues from the newest complete round. The
+    fixpoint is delta-invariant (property-tested), so even a resume with a
+    different `delta` reaches the same exact distances; the same delta
+    reproduces the same round schedule.
     """
     src, dst = id_cols
     e = edges.select(
@@ -120,23 +206,48 @@ def wsssp_distributed(
     if delta is None:
         delta = float(wavg or 1.0)
     spark = edges.sparkSession
-    dist = spark.createDataFrame(
-        [(source, 0.0)], "id long, dist double"
-    ).localCheckpoint(eager=True)
-    # frontier = vertices whose tentative dist improved since last expansion
-    frontier = dist
+    t0 = time.time()
+
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "dist", "frontier"))
+        if durable
+        else None
+    )
+    rounds = 0
+    converged = False
+    metrics = []
+    dist = frontier = None
+    if durable and resume:
+        st, done_rounds, was_converged = ckpt.resume(spark)
+        if st is not None:
+            dist = st.select("id", "dist")
+            frontier = st.where("frontier").select("id", "dist")
+            rounds = done_rounds
+            converged = was_converged
+    if dist is None:
+        dist = spark.createDataFrame(
+            [(source, 0.0)], "id long, dist double"
+        ).localCheckpoint(eager=True)
+        # frontier = vertices whose tentative dist improved since last
+        # expansion
+        frontier = dist
+
     kept = [dist]
     # one _ResetDir per state frame: a reset dir is deleted when ITS OWN
     # next reset lands, so two frames sharing one rotation would delete
     # each other's still-referenced parquet
     rdir = _ResetDir("wsssp")
     rdir_f = _ResetDir("wsssp_frontier")
-    exhausted = True
-    for it in range(max_iter):
-        if frontier.isEmpty():
-            exhausted = False
+    last_written = rounds if durable and resume else -1
+    n_front = None
+    while not converged and rounds < max_iter:
+        it0 = time.time()
+        bound_row = frontier.agg(F.min("dist")).first()[0]
+        if bound_row is None:  # resumed state with an empty frontier
+            converged = True
             break
-        bound = frontier.agg(F.min("dist")).first()[0] + delta
+        bound = bound_row + delta
         bucket = frontier.where(F.col("dist") < bound)
         rest = frontier.where(F.col("dist") >= bound)
         relaxed = (
@@ -159,16 +270,40 @@ def wsssp_distributed(
         frontier = rest.select("id").join(
             improved, "id", "leftanti"
         ).unionByName(improved).join(dist, "id").localCheckpoint(eager=True)
+        n_front = frontier.count()
         kept.append(merged)
         kept.append(frontier)
-        if (it + 1) % 5 == 0:
-            dist = rdir.reset(dist, it)
-            frontier = rdir_f.reset(frontier, it)
+        rounds += 1
+        wall_ms = (time.time() - it0) * 1000.0
+        converged = n_front == 0
+        metrics.append({"round": rounds, "frontier": int(n_front), "wall_ms": wall_ms})
+        if durable and (rounds % checkpoint_interval == 0 or converged):
+            st = ckpt.write(
+                _frontier_state(dist, frontier), rounds, wall_ms, n_front, converged
+            )
+            dist = st.select("id", "dist")
+            frontier = st.where("frontier").select("id", "dist")
+            last_written = rounds
+            kept.clear()
+        elif (rounds % 5) == 0:
+            dist = rdir.reset(dist, rounds)
+            frontier = rdir_f.reset(frontier, rounds)
             kept.clear()
             kept.append(dist)
             kept.append(frontier)
-    if exhausted:
+    if not converged:
+        if durable and rounds > last_written:
+            ckpt.write(
+                _frontier_state(dist, frontier),
+                rounds,
+                metrics[-1]["wall_ms"] if metrics else 0.0,
+                n_front if n_front is not None else -1,
+                False,
+            )
         raise RuntimeError(
             f"wsssp: frontier non-empty after {max_iter} rounds; raise max_iter"
         )
-    return rdir.finalize(dist)
+    out = dist if durable else rdir.finalize(dist)
+    if return_run:
+        return KernelRun(out, rounds, metrics, time.time() - t0, converged)
+    return out

@@ -423,3 +423,66 @@ def test_wsssp_budget_and_weight_validation(spark):
     bad = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="weights must be > 0"):
         wsssp_distributed(bad, source=0)
+
+
+def test_sssp_checkpoint_resume(tmp_path, spark):
+    """Budget exhaustion on a durable run persists the in-flight frontier
+    BEFORE the refuse-to-mislabel raise, so resume with a larger budget
+    CONTINUES the search and reaches the exact uninterrupted distances."""
+    import pytest
+
+    from deeprank_spark.operators.paths import sssp_distributed
+
+    edges = [(i, i + 1) for i in range(20)]  # directed path: 1 vertex/round
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "ck")
+
+    full = sssp_distributed(
+        e, source=0, directed=True, checkpoint_dir=ck, run_id="full",
+        checkpoint_interval=4, return_run=True,
+    )
+    assert full.converged
+    with pytest.raises(RuntimeError, match="frontier non-empty"):
+        sssp_distributed(
+            e, source=0, directed=True, max_iter=7,
+            checkpoint_dir=ck, run_id="part", checkpoint_interval=4,
+        )
+    resumed = sssp_distributed(
+        e, source=0, directed=True, checkpoint_dir=ck, run_id="part",
+        checkpoint_interval=4, resume=True, return_run=True,
+    )
+    assert resumed.converged
+    a = {r["id"]: r["dist"] for r in full.labels.collect()}
+    b = {r["id"]: r["dist"] for r in resumed.labels.collect()}
+    assert a == b == {i: i for i in range(21)}
+    assert resumed.rounds == full.rounds
+    assert len(resumed.metrics) == full.rounds - 7
+
+
+def test_wsssp_checkpoint_resume(tmp_path, spark):
+    import pytest
+
+    from deeprank_spark.operators.paths import wsssp_distributed
+
+    path = [(i, i + 1, 1.0) for i in range(15)]
+    e = spark.createDataFrame(path, "src long, dst long, w double")
+    ck = str(tmp_path / "ck")
+
+    full = wsssp_distributed(
+        e, source=0, directed=True, delta=0.5, checkpoint_dir=ck,
+        run_id="full", checkpoint_interval=4, return_run=True,
+    )
+    assert full.converged
+    with pytest.raises(RuntimeError, match="frontier non-empty"):
+        wsssp_distributed(
+            e, source=0, directed=True, delta=0.5, max_iter=6,
+            checkpoint_dir=ck, run_id="part", checkpoint_interval=4,
+        )
+    resumed = wsssp_distributed(
+        e, source=0, directed=True, delta=0.5, checkpoint_dir=ck,
+        run_id="part", checkpoint_interval=4, resume=True, return_run=True,
+    )
+    a = {r["id"]: r["dist"] for r in full.labels.collect()}
+    b = {r["id"]: r["dist"] for r in resumed.labels.collect()}
+    assert a == b == {i: float(i) for i in range(16)}
+    assert resumed.rounds == full.rounds and resumed.converged
