@@ -77,7 +77,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import time
+
 from .components import PER_CONV_SCHEMA, _ResetDir
+from .superstep import KernelRun, SuperstepCheckpointer
 
 
 def _tarjan_components(n: int, adj_heads: np.ndarray, adj_next: np.ndarray,
@@ -235,6 +238,10 @@ def scc_distributed(
     max_outer: int = 50,
     max_inner: int = 100,
     trim_passes: int = 5,
+    checkpoint_dir: str | None = None,
+    run_id: str = "scc",
+    resume: bool = False,
+    return_run: bool = False,
 ) -> DataFrame:
     """FW-BW coloring SCC with Fleischer-style partition refinement on one
     giant directed graph. Returns (id, component), component = min vertex
@@ -254,7 +261,19 @@ def scc_distributed(
     would need O(diameter)/2 passes; trim is therefore CAPPED at
     `trim_passes` per round instead of run to fixpoint (measured in
     tools/scc_dag_bench.py; real link graphs still shed their acyclic
-    bulk in the first couple of passes)."""
+    bulk in the first couple of passes).
+
+    Durable runs (shared superstep protocol, operators/superstep.py):
+    `checkpoint_dir` persists the loop state at OUTER-round granularity —
+    three sections per round (done labels so far, remainder vertices with
+    their partition ids, remainder edges) plus lineage + _DONE markers.
+    Rounds are pure functions of the remainder, so `resume=True`
+    continues from the newest complete round with exactly the
+    uninterrupted run's labels; after an outer-budget raise, resume with
+    a larger `max_outer` CONTINUES rather than restarting.
+    `return_run=True` wraps the result in KernelRun with per-outer-round
+    (peeled, wall_ms) metrics."""
+    t0 = time.time()
     src, dst = id_cols
     spark = edges.sparkSession
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -285,18 +304,85 @@ def scc_distributed(
     # after). A parquet read re-derives real stats and cuts the chain.
     rdir_v = _ResetDir("scc_v")
     rdir_e = _ResetDir("scc_e")
-    rem_v = verts.select("id", F.lit(0).cast("long").alias("part")).localCheckpoint(
-        eager=True
-    )
-    rem_e = e  # invariant: both ends remaining; same-part filter each round
-    n_rem = rem_v.count()
     stats = {"outer_rounds": 0, "trim_passes": 0,
              "peeled_by_trim": 0, "peeled_by_color": 0}
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "component"))
+        if durable
+        else None
+    )
+    outer_start = 0
+    metrics = []
+    rem_v = None
+    if durable and resume:
+        secs, done_rounds, was_conv, meta = ckpt.resume_sections(spark)
+        if secs is not None:
+            done_parts.append(secs["done"])
+            rem_v = secs["rem_v"]
+            rem_e = secs["rem_e"]
+            n_rem = 0 if was_conv else rem_v.count()
+            outer_start = done_rounds
+            stats.update(meta.get("stats", {}))
+    if rem_v is None:
+        rem_v = verts.select(
+            "id", F.lit(0).cast("long").alias("part")
+        ).localCheckpoint(eager=True)
+        rem_e = e  # invariant: both ends remaining; same-part filter each round
+        n_rem = rem_v.count()
     LAST_RUN_STATS.clear()
     LAST_RUN_STATS.update(stats)
-    for outer in range(max_outer):
+
+    def _done_union() -> DataFrame:
+        if not done_parts:
+            return verts.select("id", F.col("id").alias("component")).limit(0)
+        out = done_parts[0]
+        for part in done_parts[1:]:
+            out = out.union(part)
+        return out
+
+    it0 = 0.0
+    round_rem0 = 0
+    outer = outer_start
+
+    def _end_round(converged: bool) -> None:
+        """Record the round's metrics; durable runs persist the three
+        state sections (the parquet write doubles as the lineage reset),
+        non-durable in-progress rounds keep the _ResetDir rotation."""
+        nonlocal rem_v, rem_e
+        wall_ms = (time.time() - it0) * 1000.0
+        metrics.append(
+            {"round": outer + 1, "peeled": round_rem0 - n_rem, "wall_ms": wall_ms}
+        )
+        if durable:
+            secs = ckpt.write_sections(
+                # a converged round has no remainder: write empty sections
+                # instead of the stale (possibly large) round-start edges
+                {
+                    "done": _done_union(),
+                    "rem_v": rem_v if not converged else rem_v.limit(0),
+                    "rem_e": rem_e if not converged else rem_e.limit(0),
+                },
+                outer + 1,
+                wall_ms,
+                round_rem0 - n_rem,
+                converged,
+                lineage_of="done",
+                extra_meta={"stats": dict(stats)},
+            )
+            done_parts[:] = [secs["done"]]
+            rem_v, rem_e = secs["rem_v"], secs["rem_e"]
+        elif not converged:
+            rem_v = rdir_v.reset(rem_v, outer)
+            rem_e = rdir_e.reset(rem_e, outer)
+
+    rounds_done = outer_start
+    for outer in range(outer_start, max_outer):
         if n_rem == 0:
             break
+        it0 = time.time()
+        round_rem0 = n_rem
+        rounds_done = outer + 1
         stats["outer_rounds"] = outer + 1
         # --- 0. restrict edges to same-part pairs (sound: a cross-part
         # edge lies on no cycle) ---
@@ -345,6 +431,7 @@ def scc_distributed(
             if tp >= trim_passes and peeled_now < 0.05 * prev:
                 break  # low-yield tail: hand over to partition refinement
         if n_rem == 0:
+            _end_round(True)
             break
         # --- 2. color: min-label forward propagation with pointer jumping,
         # over HASHED labels struct(xxhash64(id), id) — see module doc.
@@ -390,25 +477,26 @@ def scc_distributed(
         prev_rem, n_rem = n_rem, rem_v.count()
         stats["peeled_by_color"] += prev_rem - n_rem
         if n_rem == 0:
+            _end_round(True)
             break
         rem_e = (
             pe.join(rem_v.select(F.col("id").alias("a")), "a", "leftsemi")
             .join(rem_v.select(F.col("id").alias("b")), "b", "leftsemi")
         )
-        rem_v = rdir_v.reset(rem_v, outer)
-        rem_e = rdir_e.reset(rem_e, outer)
+        _end_round(False)
     LAST_RUN_STATS.update(stats)
     if n_rem > 0:
         # refuse to emit wrong labels: leftover vertices are NOT known
-        # singletons (outer-round budget exhausted on an adversarial chain)
+        # singletons (outer-round budget exhausted on an adversarial chain).
+        # Durable runs persisted every completed round above, so resuming
+        # with a larger max_outer continues instead of restarting.
         raise RuntimeError(
             f"scc_distributed: {n_rem} vertices unresolved after "
             f"{max_outer} outer rounds; raise max_outer"
         )
-    if not done_parts:
-        # empty vertex set (no edges at all): empty frame, input id type
-        return rdir.finalize(verts.select("id", F.col("id").alias("component")))
-    out = done_parts[0]
-    for part in done_parts[1:]:
-        out = out.union(part)
-    return rdir.finalize(out)
+    out = _done_union()
+    if not durable:
+        out = rdir.finalize(out)
+    if return_run:
+        return KernelRun(out, rounds_done, metrics, time.time() - t0, True)
+    return out

@@ -99,6 +99,55 @@ class SuperstepCheckpointer:
             )
         return state.sparkSession.read.parquet(path)
 
+    def write_sections(self, sections: dict, step: int, wall_ms: float,
+                       changed: int, converged: bool, lineage_of: str,
+                       extra_meta: dict | None = None) -> dict:
+        """Multi-frame variant for kernels whose loop state is several
+        frames of different schemas (SCC: done labels / remainder vertices
+        / remainder edges). Each section parquets under
+        superstep=<k>/<name>/ (schemas preserved per-section), the lineage
+        rows hash the `lineage_of` section, and the _DONE marker records
+        the section names so resume_sections can re-read them. Returns
+        {name: re-read DataFrame}."""
+        base = os.path.join(self.base, f"superstep={step}")
+        out = {}
+        for name, df in sections.items():
+            path = os.path.join(base, name)
+            df.write.mode("overwrite").parquet(path)
+            out[name] = df.sparkSession.read.parquet(path)
+        self._lineage_rows(out[lineage_of], step, wall_ms).write.mode(
+            "append"
+        ).parquet(os.path.join(self.base, "lineage"))
+        meta = {
+            "superstep": step,
+            "wall_ms": wall_ms,
+            "changed": int(changed),
+            "converged": bool(converged),
+            "sections": sorted(sections),
+        }
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(self.base, f"_DONE_{step}"), "w") as f:
+            json.dump(meta, f)
+        return out
+
+    def resume_sections(self, spark: SparkSession):
+        """(sections, rounds_done, converged, meta) from the newest
+        complete round, or (None, 0, False, {}) when nothing exists."""
+        done = self.completed()
+        if not done:
+            return None, 0, False, {}
+        step = max(done)
+        with open(os.path.join(self.base, f"_DONE_{step}")) as f:
+            meta = json.load(f)
+        secs = {
+            name: spark.read.parquet(
+                os.path.join(self.base, f"superstep={step}", name)
+            )
+            for name in meta["sections"]
+        }
+        return secs, step, bool(meta.get("converged", False)), meta
+
     def _lineage_rows(self, state: DataFrame, step: int, wall_ms: float) -> DataFrame:
         return (
             state.select(

@@ -425,6 +425,31 @@ def test_wsssp_budget_and_weight_validation(spark):
         wsssp_distributed(bad, source=0)
 
 
+def test_scc_checkpoint_resume(tmp_path, spark):
+    """SCC durable resume at outer-round granularity: a deep-DAG path
+    forces multiple FW-BW/refinement rounds; interrupting after round 1
+    and resuming reproduces the uninterrupted labels exactly."""
+    import pytest
+
+    n = 100
+    edges = [(i, i + 1) for i in range(n - 1)]  # all singleton SCCs
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "ck")
+
+    full = scc_distributed(e, checkpoint_dir=ck, run_id="full", return_run=True)
+    assert full.converged and full.rounds >= 2
+    with pytest.raises(RuntimeError, match="unresolved"):
+        scc_distributed(e, max_outer=1, checkpoint_dir=ck, run_id="part")
+    resumed = scc_distributed(
+        e, checkpoint_dir=ck, run_id="part", resume=True, return_run=True
+    )
+    a = {r["id"]: r["component"] for r in full.labels.collect()}
+    b = {r["id"]: r["component"] for r in resumed.labels.collect()}
+    assert a == b == {i: i for i in range(n)}
+    assert resumed.rounds == full.rounds
+    assert len(resumed.metrics) == full.rounds - 1
+
+
 def test_sssp_checkpoint_resume(tmp_path, spark):
     """Budget exhaustion on a durable run persists the in-flight frontier
     BEFORE the refuse-to-mislabel raise, so resume with a larger budget
