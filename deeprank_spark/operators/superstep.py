@@ -124,6 +124,7 @@ class SuperstepCheckpointer:
             "changed": int(changed),
             "converged": bool(converged),
             "sections": sorted(sections),
+            "lineage_of": lineage_of,
         }
         if extra_meta:
             meta.update(extra_meta)
