@@ -343,8 +343,20 @@ def pagerank_distributed(
     # superstep shuffles use P so state/contribs/base stay co-partitioned on
     # the vertex id and the per-superstep joins are shuffle-free — the only
     # shuffle each superstep is the contribution gather (groupBy id).
+    # P follows EDGES as well as vertices: the gather join and the
+    # contribution shuffle move one row per edge, so a dense graph (sf0.1
+    # bipartite: 16k vertices / 587k edges) was running P=4 supersteps on
+    # a 32-core host. Interleaved min-of-3 on that graph: P=4 8.78 s,
+    # P=8 8.41 s, edge-derived auto P=9 8.57 s (includes the m-count's
+    # ~0.15 s), P=32 WORSE at 12.7 s — per-task overhead dominates at
+    # this size, so the cap stays. The m-count is one extra pass over the
+    # input; callers at real scale pass num_partitions and skip it.
     default_P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    P = num_partitions or max(4, min(default_P, n // 50_000 + 4))
+    if num_partitions:
+        P = num_partitions
+    else:
+        m = e.count()
+        P = max(4, min(default_P, max(n // 50_000, m // 100_000) + 4))
     saved_conf = {
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         # AQE coalescing would change shuffle partition counts mid-loop and
