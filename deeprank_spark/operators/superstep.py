@@ -150,7 +150,7 @@ class SuperstepCheckpointer:
         return secs, step, bool(meta.get("converged", False)), meta
 
     def _lineage_rows(self, state: DataFrame, step: int, wall_ms: float) -> DataFrame:
-        return (
+        per_part = (
             state.select(
                 F.spark_partition_id().alias("partition_id"),
                 F.xxhash64(*self.state_cols).alias("h"),
@@ -165,6 +165,16 @@ class SuperstepCheckpointer:
                 F.lit(float(wall_ms)).alias("wall_ms"),
             )
         )
+        # an EMPTY state (degenerate but legal, e.g. an empty input graph)
+        # must still leave a lineage row, or an auditor cannot tell
+        # "empty by design" from "rows went missing"
+        if state.isEmpty():
+            return state.sparkSession.createDataFrame(
+                [(step, -1, 0, 0, float(wall_ms))],
+                "superstep int, partition_id int, rows bigint, "
+                "checksum bigint, wall_ms double",
+            )
+        return per_part
 
 
 def read_kernel_lineage(spark: SparkSession, checkpoint_dir: str, run_id: str) -> DataFrame:

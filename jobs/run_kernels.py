@@ -122,6 +122,12 @@ def main() -> None:
             if args.source is None:
                 ap.error(f"--source is required for --kernel {args.kernel}")
             kw["source"] = args.source
+        if args.kernel == "wsssp" and "w" not in edges.columns:
+            ap.error(
+                "--kernel wsssp needs a 'w' weight column; the --sf-dir "
+                "derived bipartite table is unweighted — pass --edges with "
+                "(src, dst, w)"
+            )
         run = fns[args.kernel](edges, **kw)
         out_df, rounds, converged = run.labels, run.rounds, run.converged
         metrics = run.metrics

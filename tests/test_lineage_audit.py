@@ -45,6 +45,18 @@ def test_lineage_audit_green_then_detects_corruption(tmp_path, spark):
     assert any("rows" in err or "checksum" in err for err in rep2["errors"])
 
 
+def test_lineage_audit_empty_graph_run(tmp_path, spark):
+    # an empty durable state still leaves a sentinel lineage row, so the
+    # auditor can tell "empty by design" from "rows went missing"
+    audit = _load_audit()
+    e = spark.createDataFrame([], "src long, dst long")
+    ck = str(tmp_path / "ck")
+    components_distributed(e, checkpoint_dir=ck, run_id="cc")
+    rep = audit(spark, ck, "cc")
+    assert rep["ok"], rep
+    assert rep["newest"]["rows"] == 0 and rep["newest"]["checksum_match"]
+
+
 def test_lineage_audit_pagerank_rank_normalization(tmp_path, spark):
     # the double `rank` column goes through the same format_number(12)
     # normalization pagerank's own lineage writer uses
