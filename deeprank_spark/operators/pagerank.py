@@ -569,9 +569,21 @@ def _write_superstep(
 ) -> DataFrame:
     """Parquet round-trip: the real lineage truncation point. Durable runs
     also append the per-partition lineage table and a _DONE marker (resume
-    scans the markers)."""
+    scans the markers). Durable state lands SORTED on id within each
+    (hash) partition file, so row-group min/max stats let a point lookup
+    of one vertex's rank at a checkpointed superstep prune to ~one row
+    group per file. Deliberately NOT repartitionByRange: the range
+    partitioner samples boundaries with an RDD-id-seeded RNG, so its
+    layout varies between runs of identical data and demotes the
+    cross-run bitwise-resume guarantee to ~1e-18 float wiggle (measured);
+    hash partitioning + in-file sort is fully value-determined."""
     path = os.path.join(ckpt_base, f"superstep={step}")
-    state.write.mode("overwrite").parquet(path)
+    if durable:
+        state.sortWithinPartitions("id").write.mode("overwrite").parquet(path)
+    else:
+        # non-durable resets are pure lineage truncation on tmpfs: skip
+        # the sort, nothing ever point-reads these
+        state.write.mode("overwrite").parquet(path)
     if durable:
         _lineage_rows(state, step, wall_ms).write.mode("append").parquet(
             os.path.join(ckpt_base, "lineage")
