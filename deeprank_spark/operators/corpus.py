@@ -143,3 +143,93 @@ def stratified_sample(
         )
         .drop("thr")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-cut sample packing (the standard pretraining layout):
+    documents are concatenated in deterministic `id_col` order and the
+    token stream is cut every `budget` tokens. Returns one row per doc —
+    (id, n_tokens, start_offset, pack_first, pack_last) — where
+    start_offset is the doc's position in the global token stream and
+    pack_first/pack_last the zero-based packs it lands in (a doc may
+    straddle a cut; a zero-token doc is charged to its start pack).
+
+    Scale design — NO global single-partition window: the global running
+    sum is a two-pass parallel prefix. Pass 1 range-partitions on the id
+    (range partitions are ordered by partition index, so partition p
+    holds strictly smaller ids than p+1) and aggregates one total per
+    partition — a frame with one row per partition, collected to the
+    driver and turned into per-partition prefix offsets. Pass 2 computes
+    the within-partition cumulative sum with an ordinary window keyed by
+    the partition id (each task handles one range partition) and adds the
+    broadcast prefix. Any range-boundary placement yields the same global
+    cumsum, so the (sampled, run-varying) repartitionByRange boundaries
+    never affect results — pinned by the partition-invariance test.
+
+    `id_col` must be unique (it defines the concatenation order); token
+    counts must be non-negative (asserted in-plan).
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_sequences: budget must be > 0, got {budget}")
+    spark = docs.sparkSession
+    d = (
+        docs.select(
+            F.col(id_col),
+            # the guard lives INSIDE the kept column: a separate assert
+            # column would be pruned away by Catalyst and never evaluate
+            F.when(
+                F.col(tokens_col) >= 0, F.col(tokens_col).cast("long")
+            )
+            .otherwise(
+                F.raise_error(F.lit("pack_sequences: negative token count"))
+            )
+            .alias(tokens_col),
+        )
+        .repartitionByRange(F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the partitioning: the totals
+        # pass and the cumsum pass must see the SAME _pid assignment
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in d.groupBy("_pid").agg(F.sum(tokens_col).alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    prefix_dim = spark.createDataFrame(
+        [(pid, off) for pid, off in prefix.items()] or [(0, 0)],
+        "_pid int, _prefix long",
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_prefix") + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    b = int(budget)
+    return (
+        d.join(F.broadcast(prefix_dim), "_pid")
+        .withColumn("start_offset", start)
+        .withColumn(
+            "_endm1",
+            F.col("start_offset") + F.greatest(F.col(tokens_col), F.lit(1)) - 1,
+        )
+        # `div` is exact integer division (float floor-divide would go
+        # through doubles and lose exactness past 2^53-token streams)
+        .select(
+            id_col,
+            tokens_col,
+            "start_offset",
+            F.expr(f"start_offset div {b}").alias("pack_first"),
+            F.expr(f"_endm1 div {b}").alias("pack_last"),
+        )
+    )

@@ -97,3 +97,93 @@ def test_stratified_sample_default_rate(spark):
         _sdf(spark), {"a": 1.0}, stratum_col="src", id_col="doc_id"
     ).collect()
     assert {r["src"] for r in got} == {"a"}
+
+
+# ---------------------------------------------------------------------------
+# concat-and-cut sequence packing (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _pack_oracle(rows, budget):
+    """Pure-python concat-and-cut: global token stream in id order."""
+    out = {}
+    acc = 0
+    for doc_id, n in sorted(rows):
+        endm1 = acc + max(n, 1) - 1
+        out[doc_id] = (n, acc, acc // budget, endm1 // budget)
+        acc += n
+    return out
+
+
+def test_pack_sequences_matches_oracle_and_duckdb(spark):
+    import random
+
+    import duckdb
+
+    from deeprank_spark.operators.corpus import pack_sequences
+
+    rng = random.Random(11)
+    # zero-token docs, docs larger than the budget, budget-aligned sizes
+    rows = [(i, rng.choice([0, 1, 3, 7, 8, 13, 25])) for i in range(200)]
+    budget = 8
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["pack_first"], r["pack_last"]
+        )
+        for r in pack_sequences(df, budget).collect()
+    }
+    assert got == _pack_oracle(rows, budget)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    drows = con.execute(
+        """
+        WITH c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+          FROM docs)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 8 AS pack_first,
+               (start_offset + GREATEST(n_tokens, 1) - 1) // 8 AS pack_last
+        FROM c
+        """
+    ).fetchall()
+    assert {r[0]: tuple(r[1:]) for r in drows} == got
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The two-pass parallel prefix must give the same global offsets for
+    ANY incoming layout (range boundaries are sampled per run)."""
+    from deeprank_spark.operators.corpus import pack_sequences
+
+    rows = [(i, (i * 13) % 11) for i in range(300)]
+    base = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ref = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            tuple(r) for r in pack_sequences(base.repartition(parts), 16).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, f"parts={parts}"
+    assert ref == sorted(
+        (d, n, s, pf, pl)
+        for d, (n, s, pf, pl) in _pack_oracle(rows, 16).items()
+    )
+
+
+def test_pack_sequences_validation(spark):
+    import pytest as _pytest
+
+    from deeprank_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, 0)
+    bad = spark.createDataFrame([(1, -2)], "doc_id long, n_tokens long")
+    with _pytest.raises(Exception, match="negative token count"):
+        pack_sequences(bad, 8).collect()
