@@ -233,3 +233,58 @@ def pack_sequences(
             F.expr(f"_endm1 div {b}").alias("pack_last"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text):
+    each document's token stream split into windows of `chunk_tokens`
+    tokens with `overlap` tokens of left context (stride = chunk_tokens -
+    overlap) — the upstream of `pack_sequences` and the standard RAG /
+    long-document preprocessing step. The last window may be shorter; an
+    empty document yields zero chunks.
+
+    Pure Catalyst (tokenize -> sequence of starts -> posexplode ->
+    slice): zero shuffle at any scale, fan-out exactly
+    ceil(n_tokens/stride) rows per doc, each bounded by chunk_tokens.
+    Tokenization = textstats.tokens_col, so chunks compose with the
+    quality/language/packing ops.
+    """
+    if chunk_tokens <= 0 or not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            "chunk_documents: need chunk_tokens > 0 and 0 <= overlap < "
+            f"chunk_tokens, got chunk_tokens={chunk_tokens} overlap={overlap}"
+        )
+    from deeprank_spark.operators.textstats import tokens_col
+
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    d = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("chunk_idx", "start_tok"),
+        )
+    )
+    return d.select(
+        id_col,
+        "chunk_idx",
+        "start_tok",
+        F.least(
+            F.lit(chunk_tokens), F.col("_n") - F.col("start_tok")
+        ).alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("start_tok") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

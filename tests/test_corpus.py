@@ -187,3 +187,92 @@ def test_pack_sequences_validation(spark):
     bad = spark.createDataFrame([(1, -2)], "doc_id long, n_tokens long")
     with _pytest.raises(Exception, match="negative token count"):
         pack_sequences(bad, 8).collect()
+
+
+# ---------------------------------------------------------------------------
+# token-window document chunking (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_oracle(rows, chunk, overlap):
+    """Pure-python chunker over the shared tokenization."""
+    stride = chunk - overlap
+    out = []
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+        for idx, start in enumerate(range(0, len(toks), stride)):
+            piece = toks[start:start + chunk]
+            out.append((doc_id, idx, start, len(piece), " ".join(piece)))
+    return sorted(out)
+
+
+def test_chunk_documents_matches_oracle_and_duckdb(spark):
+    import duckdb
+
+    from deeprank_spark.operators.corpus import chunk_documents
+
+    rows = [
+        (1, "the cat sat on the mat and the cat sat again today"),
+        (2, "short"),
+        (3, ""),                      # empty -> zero chunks
+        (4, "  ,,  !!  "),            # tokenizes empty -> zero chunks
+        (5, "a b c d e f g h i j k l m n o p"),
+        (6, "Tie-BREAK punct: don't stop-words 123 mix"),
+    ]
+    chunk, overlap = 5, 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"],
+         r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk, overlap).collect()
+    )
+    assert got == _chunk_oracle(rows, chunk, overlap)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    drows = con.execute(
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                             x -> length(x) > 0) AS toks
+          FROM docs),
+        s AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        u AS (SELECT doc_id, toks, n,
+                     unnest(range(0, n, 3)) AS start_tok
+              FROM s)
+        SELECT doc_id,
+               CAST(start_tok / 3 AS INT) AS chunk_idx,
+               start_tok,
+               LEAST(5, n - start_tok) AS n_chunk_tokens,
+               array_to_string(toks[start_tok + 1 : start_tok + 5], ' ')
+                 AS chunk_text
+        FROM u
+        """
+    ).fetchall()
+    assert sorted(tuple(r) for r in drows) == got
+
+
+def test_chunk_documents_no_overlap_covers_stream(spark):
+    from deeprank_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, 8).collect()
+    )
+    # disjoint cover: 8 + 8 + 7 tokens, concatenation reproduces the doc
+    assert [c[1] for c in chunks] == [8, 8, 7]
+    assert " ".join(c[2] for c in chunks) == text
+
+
+def test_chunk_documents_validation(spark):
+    from deeprank_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, 0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, 4, overlap=4)
