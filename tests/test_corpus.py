@@ -276,3 +276,40 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, 4, overlap=4)
+
+
+def test_pack_and_chunk_compose_with_token_counts(spark):
+    """Real-table integration: textstats.token_counts feeds pack_sequences
+    directly, and chunk token counts re-add to each doc's token count."""
+    from pyspark.sql import functions as F
+
+    from deeprank_spark.operators.corpus import chunk_documents, pack_sequences
+    from deeprank_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = token_counts(docs).select("doc_id", "n_tokens")
+    packed = pack_sequences(counts, budget=512, tokens_col="n_tokens")
+    total = counts.agg(F.sum("n_tokens")).first()[0]
+    assert packed.count() == counts.count()
+    last = packed.agg(F.max("pack_last")).first()[0]
+    assert last == (total - 1) // 512
+    # offsets tile the stream exactly: sorted starts == exclusive cumsum
+    rows = sorted(
+        (r["start_offset"], r["n_tokens"]) for r in packed.collect()
+    )
+    acc = 0
+    for start, n in rows:
+        assert start == acc
+        acc += n
+    assert acc == total
+
+    # no-overlap chunks partition every doc's tokens
+    per_doc = (
+        chunk_documents(docs, 64)
+        .groupBy("doc_id")
+        .agg(F.sum("n_chunk_tokens").alias("t"))
+    )
+    joined = counts.join(per_doc, "doc_id", "left").select(
+        "n_tokens", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    assert joined.where("n_tokens != t").count() == 0
