@@ -171,8 +171,10 @@ def pack_sequences(
     cumsum, so the (sampled, run-varying) repartitionByRange boundaries
     never affect results — pinned by the partition-invariance test.
 
-    `id_col` must be unique (it defines the concatenation order); token
-    counts must be non-negative (asserted in-plan).
+    `id_col` must be unique (it defines the concatenation order — ENFORCED
+    with an explicit count-vs-distinct check, since a duplicate key would
+    silently shift every later offset); token counts must be non-negative
+    (asserted in-plan, inside a kept column so Catalyst cannot prune it).
     """
     if budget <= 0:
         raise ValueError(f"pack_sequences: budget must be > 0, got {budget}")
@@ -195,6 +197,15 @@ def pack_sequences(
         .localCheckpoint(eager=True)  # pin the partitioning: the totals
         # pass and the cumsum pass must see the SAME _pid assignment
     )
+    chk = d.agg(
+        F.count("*").alias("n"), F.count_distinct(F.col(id_col)).alias("u")
+    ).first()
+    if chk["n"] != chk["u"]:
+        raise ValueError(
+            f"pack_sequences: {id_col} must be unique "
+            f"({chk['n'] - chk['u']} duplicates) — duplicate keys make the "
+            "concatenation order, and therefore every offset, ambiguous"
+        )
     totals = {
         r["_pid"]: r["t"]
         for r in d.groupBy("_pid").agg(F.sum(tokens_col).alias("t")).collect()

@@ -313,3 +313,13 @@ def test_pack_and_chunk_compose_with_token_counts(spark):
         "n_tokens", F.coalesce("t", F.lit(0)).alias("t")
     )
     assert joined.where("n_tokens != t").count() == 0
+
+
+def test_pack_sequences_rejects_duplicate_ids(spark):
+    from deeprank_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (1, 4)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        pack_sequences(df, 8)
