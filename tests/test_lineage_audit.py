@@ -71,3 +71,19 @@ def test_lineage_audit_pagerank_rank_normalization(tmp_path, spark):
     rep = audit(spark, ck, "pr")
     assert rep["ok"], rep
     assert rep["newest"]["checksum_match"]
+
+
+def test_lineage_audit_scc_sections_layout(tmp_path, spark):
+    # the multi-section protocol (done / rem_v / rem_e per round): the
+    # auditor follows the marker's section list and lineage_of pointer
+    from deeprank_spark.operators.scc import scc_distributed
+
+    audit = _load_audit()
+    edges = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ck = str(tmp_path / "ck")
+    scc_distributed(e, checkpoint_dir=ck, run_id="scc")
+    rep = audit(spark, ck, "scc")
+    assert rep["ok"], rep
+    assert rep["newest"]["converged"] and rep["newest"]["checksum_match"]
+    assert rep["newest"]["rows"] == 5  # all vertices labeled
