@@ -77,7 +77,45 @@ def write_table(
     w.parquet(name_or_path)
 
 
-def read_transcripts(spark: SparkSession, name_or_path: str) -> DataFrame:
-    """The engine's canonical input (input_hint schema, fixed order)."""
-    df = read_table(spark, name_or_path)
+def read_transcripts(
+    spark: SparkSession, name_or_path: str, format: str | None = None
+) -> DataFrame:
+    """The engine's canonical input (input_hint schema, fixed order).
+
+    `format`: None auto-detects — the Iceberg catalog when
+    DEEPRANK_CATALOG=iceberg, else by extension (.jsonl/.json -> JSON
+    lines, .csv -> CSV with header, anything else parquet) — or pass
+    'parquet' | 'jsonl' | 'csv' | 'table' explicitly. The text formats
+    read with the EXPLICIT transcripts schema: schema inference would
+    scan the whole input before the job starts (a non-starter at 10^12
+    turns), and with a fixed schema a malformed line degrades to nulls in
+    that row instead of failing the read (Spark's default PERMISSIVE
+    mode), which the parse stage's null guards already tolerate."""
+    fmt = format
+    if fmt is None:
+        if use_iceberg():
+            fmt = "table"
+        else:
+            low = name_or_path.lower()
+            if low.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+                fmt = "jsonl"
+            elif low.endswith((".csv", ".csv.gz")):
+                fmt = "csv"
+            else:
+                fmt = "parquet"
+    if fmt in ("table", "parquet"):
+        df = read_table(spark, name_or_path)
+    elif fmt == "jsonl":
+        df = spark.read.schema(TRANSCRIPTS_SCHEMA).json(name_or_path)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(TRANSCRIPTS_SCHEMA)
+            .option("header", True)
+            .csv(name_or_path)
+        )
+    else:
+        raise ValueError(
+            f"read_transcripts: unknown format {fmt!r} "
+            "(expected parquet | jsonl | csv | table)"
+        )
     return df.select("conv_id", "turn_idx", "role", "text", "tool", "ts")

@@ -44,3 +44,42 @@ def test_fact_db_round_trip(spark, tmp_path):
     assert a == b
     # every relation is keyed by conv_id and bucketed on disk
     assert all("conv_id" in back[n].columns for n in RELATIONS)
+
+
+def test_read_transcripts_jsonl_and_csv(spark, tmp_path):
+    """The JSONL / CSV transcript sources round-trip the canonical schema
+    exactly (explicit schema, no inference scan) and feed the same
+    digest as the parquet path."""
+    tr = gen_transcripts_df(spark, n_convs=4, turns_per_conv=5)
+    rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+        for r in tr.collect()
+    )
+
+    pq = str(tmp_path / "t.parquet")
+    jl = str(tmp_path / "t.jsonl")
+    cs = str(tmp_path / "t.csv")
+    tr.write.parquet(pq)
+    tr.write.json(jl)
+    tr.write.option("header", True).csv(cs)
+
+    for path, fmt in ((pq, None), (jl, None), (cs, None), (jl, "jsonl"), (cs, "csv")):
+        back = read_transcripts(spark, path, format=fmt)
+        assert back.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        got = sorted(tuple(r) for r in back.collect())
+        assert got == rows, (path, fmt)
+
+    # malformed JSON line degrades to a null row, not a crashed read
+    with open(str(tmp_path / "bad.jsonl"), "w") as f:
+        f.write('{"conv_id": "c1", "turn_idx": 0, "role": "user", '
+                '"text": "hello there", "tool": null, '
+                '"ts": "2026-01-01T00:00:00Z"}\n')
+        f.write("this is not json\n")
+    bad = read_transcripts(spark, str(tmp_path / "bad.jsonl"), format="jsonl")
+    assert bad.count() == 2
+    assert bad.where("conv_id is not null").count() == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown format"):
+        read_transcripts(spark, pq, format="xml")
