@@ -44,8 +44,8 @@ HEADLINE = [
     "dedup_exact",
     "simhash",
     "ann_cosine_topk",
-    "topk_weighted",
-    "window_rank",
+    "g_hits",
+    "lm_perplexity",
     "ev_sessionize",
 ]
 

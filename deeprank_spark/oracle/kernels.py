@@ -101,3 +101,57 @@ def triangles_nx(edges, nodes=()) -> dict:
         if a != b:
             g.add_edge(a, b)
     return nx.triangles(g)
+
+
+def hits_nx(edges, max_iter=100, tol=1.0e-8):
+    """(hubs, auths) dicts via networkx's documented pure-Python power
+    iteration (`_hits_python`, hits_alg.py — nx.hits itself dispatches to
+    scipy's svds, not installed here). hits_distributed mirrors this
+    schedule float-for-float: max-normalization of both vectors each
+    iteration, h-step uses the UNnormalized authority sums, L1 stop on
+    the hub vector at raw (unscaled) tol, final sum-normalization."""
+    from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+    g = nx.DiGraph()
+    for (s, d) in edges:
+        g.add_edge(s, d)
+    if g.number_of_nodes() == 0:
+        return {}, {}
+    return _hits_python(g, max_iter=max_iter, tol=tol, normalized=True)
+
+
+def hits_fixed_python(edges, iters):
+    """(hubs, auths) after EXACTLY `iters` iterations of the _hits_python
+    schedule (no convergence break) + final sum-normalization — the
+    pure-Python mirror of hits_distributed's tol=0 mode and of the
+    unrolled DuckDB contract oracle."""
+    g = nx.DiGraph()
+    for (s, d) in edges:
+        g.add_edge(s, d)
+    if g.number_of_nodes() == 0:
+        return {}, {}
+    h = dict.fromkeys(g, 1.0 / g.number_of_nodes())
+    a = dict.fromkeys(g, 0.0)
+    for _ in range(iters):
+        hlast = h
+        h = dict.fromkeys(hlast.keys(), 0.0)
+        a = dict.fromkeys(hlast.keys(), 0.0)
+        for n_ in h:
+            for nbr in g[n_]:
+                a[nbr] += hlast[n_]
+        for n_ in h:
+            for nbr in g[n_]:
+                h[n_] += a[nbr]
+        s = 1.0 / max(h.values())
+        for n_ in h:
+            h[n_] *= s
+        s = 1.0 / max(a.values())
+        for n_ in a:
+            a[n_] *= s
+    s = 1.0 / sum(a.values())
+    for n_ in a:
+        a[n_] *= s
+    s = 1.0 / sum(h.values())
+    for n_ in h:
+        h[n_] *= s
+    return h, a

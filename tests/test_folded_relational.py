@@ -23,6 +23,10 @@ CASES = [
      ["customer", "orders"]),
     ("rollup_cube_agg", entrymod.q_rollup_cube_agg, entrymod._ROLLUP_CUBE_SQL,
      ["lineitem"]),
+    ("topk_weighted", entrymod.q_topk_weighted, entrymod._TOPK_WEIGHTED_SQL,
+     ["lineitem"]),
+    ("window_rank", entrymod.q_window_rank, entrymod._WINDOW_RANK_SQL,
+     ["orders"]),
 ]
 
 
