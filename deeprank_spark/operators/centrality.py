@@ -2,9 +2,11 @@
 north-rule family as cohesion.py's clustering/coreness companions).
 
 Betweenness (Brandes 2001 — exact single-source accumulation, public
-algorithm) and closeness (Wasserman-Faust component-scaled form, the
-networkx default for disconnected graphs) over each conversation's
-UNDIRECTED simple projection, computed inside applyInPandas.
+algorithm), closeness (Wasserman-Faust component-scaled form, the
+networkx default for disconnected graphs) and harmonic centrality
+(Boldi-Vigna 2014 form, nx.harmonic_centrality — the disconnection-robust
+closeness variant) over each conversation's UNDIRECTED simple
+projection, computed inside applyInPandas.
 
 Scale shape: a conversation graph is small (tens of vertices), so the
 corpus-scale strategy is the one the whole engine uses for
@@ -33,6 +35,7 @@ PER_CONV_SCHEMA = StructType(
         StructField("key", StringType(), False),
         StructField("betweenness", DoubleType(), False),
         StructField("closeness", DoubleType(), False),
+        StructField("harmonic", DoubleType(), False),
     ]
 )
 
@@ -101,10 +104,31 @@ def closeness_wf(n: int, adj: list) -> list:
     return out
 
 
+def harmonic_bfs(n: int, adj: list) -> list:
+    """Raw harmonic centrality (nx.harmonic_centrality — UNnormalized):
+    sum over reachable other vertices of 1/d; robust to disconnection by
+    construction (unreachable pairs contribute 0)."""
+    out = [0.0] * n
+    for s in range(n):
+        dist = [-1] * n
+        dist[s] = 0
+        q = deque([s])
+        acc = 0.0
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    acc += 1.0 / dist[w]
+                    q.append(w)
+        out[s] = acc
+    return out
+
+
 def centrality_per_conv(gedges: DataFrame) -> DataFrame:
-    """(conv_id, kind, key, betweenness, closeness) on each conversation's
-    undirected simple projection (self-loops dropped, parallel edges
-    collapsed — nx.Graph semantics)."""
+    """(conv_id, kind, key, betweenness, closeness, harmonic) on each
+    conversation's undirected simple projection (self-loops dropped,
+    parallel edges collapsed — nx.Graph semantics)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -115,6 +139,7 @@ def centrality_per_conv(gedges: DataFrame) -> DataFrame:
                     "key": [],
                     "betweenness": [],
                     "closeness": [],
+                    "harmonic": [],
                 }
             )
         conv = pdf["conv_id"].iloc[0]
@@ -140,6 +165,7 @@ def centrality_per_conv(gedges: DataFrame) -> DataFrame:
             adj[v].append(int(u))
         bc = brandes_betweenness(n, adj)
         cc = closeness_wf(n, adj)
+        hc = harmonic_bfs(n, adj)
         return pd.DataFrame(
             {
                 "conv_id": conv,
@@ -147,6 +173,7 @@ def centrality_per_conv(gedges: DataFrame) -> DataFrame:
                 "key": [s[1:] for s in nodes],
                 "betweenness": bc,
                 "closeness": cc,
+                "harmonic": hc,
             }
         )
 

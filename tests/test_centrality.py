@@ -1,5 +1,5 @@
-"""Betweenness / closeness kernels vs networkx — allclose gates (float
-accumulation order differs from nx's, so 1e-9 not bitwise)."""
+"""Betweenness / closeness / harmonic kernels vs networkx — allclose
+gates (float accumulation order differs from nx's, so 1e-9 not bitwise)."""
 
 import math
 import random
@@ -12,6 +12,7 @@ from deeprank_spark.operators.centrality import (
     brandes_betweenness,
     centrality_per_conv,
     closeness_wf,
+    harmonic_bfs,
 )
 from deeprank_spark.oracle import textgraph as otg
 from deeprank_spark.transcripts import small_transcripts, transcripts_sdf
@@ -33,11 +34,14 @@ def _check_graph(edges):
         adj[idx[b]].append(idx[a])
     bc = brandes_betweenness(len(nodes), adj)
     cc = closeness_wf(len(nodes), adj)
+    hc = harmonic_bfs(len(nodes), adj)
     exp_bc = nx.betweenness_centrality(g)
     exp_cc = nx.closeness_centrality(g)
+    exp_hc = nx.harmonic_centrality(g)
     for v in nodes:
         assert _close(bc[idx[v]], exp_bc[v]), ("bc", v)
         assert _close(cc[idx[v]], exp_cc[v]), ("cc", v)
+        assert _close(hc[idx[v]], exp_hc[v]), ("hc", v)
 
 
 def test_pure_kernels_match_networkx_random():
@@ -63,7 +67,7 @@ def test_centrality_per_conv_matches_networkx(spark):
     got = {}
     for r in centrality_per_conv(d.gedges).collect():
         got[(r["conv_id"], r["kind"] + r["key"])] = (
-            r["betweenness"], r["closeness"]
+            r["betweenness"], r["closeness"], r["harmonic"]
         )
     for conv, grp in pdf.groupby("conv_id"):
         sents = list(grp.sort_values("turn_idx")["text"])
@@ -76,7 +80,9 @@ def test_centrality_per_conv_matches_networkx(spark):
         )
         exp_bc = nx.betweenness_centrality(g)
         exp_cc = nx.closeness_centrality(g)
+        exp_hc = nx.harmonic_centrality(g)
         for node in g.nodes:
-            gb, gc = got[(conv, node)]
+            gb, gc, gh = got[(conv, node)]
             assert _close(gb, exp_bc[node]), (conv, node)
             assert _close(gc, exp_cc[node]), (conv, node)
+            assert _close(gh, exp_hc[node]), (conv, node)
