@@ -293,12 +293,20 @@ def pagerank_distributed(
     resume: bool = False,
     num_partitions: int | None = None,
     verbose: bool = False,
+    weight_col: str | None = None,
 ) -> PageRankRun:
     """Superstep SpMV PageRank on one (possibly giant) graph.
 
     edges: DataFrame with long/str columns id_cols=(src, dst); multi-edges
     should be pre-deduped by the caller for DiGraph semantics.
     pers: optional (id, weight).
+    weight_col: optional POSITIVE edge-weight column — nx weighted
+    semantics (contribution rank*w / sum of out-weights, the stochastic
+    normalization nx.pagerank's weight= applies). One divergence,
+    documented: a vertex whose out-weights sum to 0 is treated as
+    DANGLING (nx propagates nan); weights must be >= 0. When None the
+    plan is expression-identical to the unweighted kernel (count-based
+    degree), so the flagship path is untouched.
 
     Scale design: `edges_deg` (edges ⋈ out-degree) is materialized once,
     hash-partitioned on src and cached — every superstep reuses that
@@ -323,7 +331,14 @@ def pagerank_distributed(
     spark = edges.sparkSession
     t0 = time.time()
     src, dst = id_cols
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if weight_col is not None:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+    else:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
 
     if vertices is None:
         vertices = (
@@ -368,19 +383,24 @@ def pagerank_distributed(
     spark.conf.set("spark.sql.shuffle.partitions", str(P))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    if weight_col is not None:
+        # stochastic normalization over out-WEIGHT sums; an all-zero
+        # out-weight vertex drops out of outdeg and is dangling (see doc)
+        outdeg = (
+            e.groupBy("src").agg(F.sum("w").alias("deg")).where(F.col("deg") > 0)
+        )
+    else:
+        outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # renamed e_* columns: the superstep state's lineage contains this
     # frame, so later joins against it are self-joins — name-based
     # resolution on unique names sidesteps attribute-id ambiguity
+    ecols = [
+        F.col("src").alias("e_src"),
+        F.col("dst").alias("e_dst"),
+        F.col("deg").cast("double").alias("e_deg"),
+    ] + ([F.col("w").alias("e_w")] if weight_col is not None else [])
     edges_deg = (
-        e.join(outdeg, "src")
-        .select(
-            F.col("src").alias("e_src"),
-            F.col("dst").alias("e_dst"),
-            F.col("deg").cast("double").alias("e_deg"),
-        )
-        .repartition(P, "e_src")
-        .persist()
+        e.join(outdeg, "src").select(*ecols).repartition(P, "e_src").persist()
     )
     edges_deg.count()  # materialize once; cached stats are then accurate
 
@@ -458,10 +478,15 @@ def pagerank_distributed(
             joined = state.select(
                 F.col("id").alias("sid"), "rank"
             ).join(edges_deg, F.col("sid") == F.col("e_src"))
+            cexpr = (
+                F.col("rank") * F.col("e_w") / F.col("e_deg")
+                if weight_col is not None
+                else F.col("rank") / F.col("e_deg")
+            )
             contribs = joined.select(
                 F.col("e_dst").alias("id"),
                 F.col("e_src").alias("esrc"),
-                (F.col("rank") / F.col("e_deg")).alias("c"),
+                cexpr.alias("c"),
             )
             if salt_buckets > 1:
                 # explicit two-phase aggregation: pre-aggregate hub fan-in on

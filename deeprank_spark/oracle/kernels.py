@@ -155,3 +155,15 @@ def hits_fixed_python(edges, iters):
     for n_ in h:
         h[n_] *= s
     return h, a
+
+
+def pagerank_weighted_nx(wedges, alpha=0.85, tol=1.0e-6, max_iter=100) -> dict:
+    """nx weighted-PageRank oracle: wedges = [(src, dst, w)]; contribution
+    rank*w / out-weight-sum (stochastic normalization, _pagerank_python's
+    weight= path)."""
+    g = nx.DiGraph()
+    for (s, d, w) in wedges:
+        g.add_edge(s, d, weight=w)
+    if g.number_of_nodes() == 0:
+        return {}
+    return _pagerank_python(g, alpha=alpha, tol=tol, max_iter=max_iter, weight="weight")

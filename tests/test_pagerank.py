@@ -162,3 +162,52 @@ def test_distributed_checkpoint_resume(tmp_path, spark):
     lin = read_lineage(spark, ck, "part").toPandas()
     assert {"superstep", "partition_id", "rows", "checksum", "wall_ms"} <= set(lin.columns)
     assert lin["rows"].sum() > 0
+
+
+def test_distributed_weighted_matches_networkx(spark):
+    from deeprank_spark.oracle.kernels import pagerank_weighted_nx
+
+    rng = random.Random(17)
+    wedges = sorted(
+        {(rng.randrange(40), rng.randrange(40)) for _ in range(160)}
+    )
+    wedges = [(s, t, round(rng.uniform(0.1, 5.0), 3)) for (s, t) in wedges]
+    e = spark.createDataFrame(wedges, "src long, dst long, w double")
+    run = pagerank_distributed(e, num_partitions=8, weight_col="w")
+    got = {r["id"]: r["rank"] for r in run.ranks.collect()}
+    exp = pagerank_weighted_nx(wedges)
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert math.isclose(got[k], v, abs_tol=ATOL)
+    assert run.converged
+
+
+def test_distributed_weighted_unit_weights_match_unweighted(spark):
+    edges = _random_graph(23)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ew = spark.createDataFrame(
+        [(s, t, 1.0) for (s, t) in edges], "src long, dst long, w double"
+    )
+    a = {r["id"]: r["rank"]
+         for r in pagerank_distributed(e, num_partitions=8).ranks.collect()}
+    b = {r["id"]: r["rank"]
+         for r in pagerank_distributed(
+             ew, num_partitions=8, weight_col="w").ranks.collect()}
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=0, abs_tol=1e-12)
+
+
+def test_distributed_weighted_zero_outweight_is_dangling(spark):
+    # documented divergence from nx (which propagates nan): a vertex whose
+    # out-weights sum to 0 behaves exactly like an edgeless (dangling) one
+    from deeprank_spark.oracle.kernels import pagerank_weighted_nx
+
+    wedges = [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 1.0)]
+    withzero = wedges + [(4, 1, 0.0)]
+    e = spark.createDataFrame(withzero, "src long, dst long, w double")
+    got = {r["id"]: r["rank"]
+           for r in pagerank_distributed(
+               e, num_partitions=4, weight_col="w").ranks.collect()}
+    exp = pagerank_weighted_nx(wedges)  # 4 dangling: no out-edge at all
+    for k, v in exp.items():
+        assert math.isclose(got[k], v, abs_tol=ATOL)
