@@ -299,3 +299,92 @@ def chunk_documents(
             " ", F.slice("_toks", F.col("start_tok") + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 8192,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023) —
+    hashed-bigram importance log-weights: per document,
+    sum_b n_b(doc) * (ln p_target(b) - ln p_raw(b)), where the bucket
+    distributions are add-k-smoothed hashed-bigram histograms of the
+    target-domain sample vs the raw corpus. High logw = "looks like the
+    target domain"; the resampling step is a caller-side Gumbel-top-k or
+    threshold over logw. -> (doc_id, n_grams, logw); docs with <2 tokens
+    get n_grams=0, NULL logw.
+
+    The bucket hash is the md5-hex-prefix trick stratified_sample uses
+    (identical integers in Spark and DuckDB, so the whole operator is
+    SQL-mirrorable). Scale shape: bigram explode (pure expression) ->
+    per-(doc,bucket) counts (map-side combined) -> ONE broadcast join
+    against the n_buckets-row model table (two tiny aggs unioned) -> one
+    per-doc sum. The model build is two passes over the exploded pairs;
+    nothing driver-side.
+    """
+    from deeprank_spark.operators.lm import _bigram_pairs
+
+    def bucket(col_w1, col_w2):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", col_w1, col_w2)), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        )
+
+    def bucketed(frame):
+        return _bigram_pairs(frame, id_col, text_col).select(
+            "__id", bucket(F.col("w1"), F.col("w2")).alias("b")
+        )
+
+    raw = bucketed(docs)
+    tgt = bucketed(target_docs)
+    # add-k-smoothed log-prob per bucket for both distributions; totals
+    # ride the plan as broadcast 1-row frames
+    rcnt = raw.groupBy("b").agg(F.count("*").alias("cr"))
+    tcnt = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    rtot = F.broadcast(raw.agg(F.count("*").alias("tr")))
+    ttot = F.broadcast(tgt.agg(F.count("*").alias("tt")))
+    model = (
+        rcnt.join(tcnt, "b", "full")
+        .crossJoin(rtot)
+        .crossJoin(ttot)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(k))
+                    / (F.col("tt") + F.lit(k) * F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(k))
+                    / (F.col("tr") + F.lit(k) * F.lit(float(n_buckets)))
+                )
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        raw.groupBy("__id", "b")
+        .agg(F.count("*").alias("nb"))
+        .join(F.broadcast(model), "b")
+        .groupBy("__id")
+        .agg(
+            F.sum("nb").alias("n_grams"),
+            F.sum(F.col("nb") * F.col("llr")).alias("logw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.col("logw"),
+        )
+    )

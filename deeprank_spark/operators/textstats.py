@@ -188,3 +188,60 @@ def redact_pii(
         red.alias("redacted"),
         n.cast("long").alias("n_redactions"),
     )
+
+
+def tfidf_terms(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, term, tf, df, tfidf) — classic term salience
+    (tf * ln(N/df)) over the shared tokenizer; the standard relevance
+    feature corpus curation and keyword baselines build on.
+
+    Scale shape: one explode + one (doc, term) count, one per-term
+    document-frequency aggregate (map-side combined; its output is
+    |vocab| rows and broadcasts back), and the corpus size N rides the
+    plan as a broadcast 1-row frame — no driver-side collect, no window.
+    Common terms are the hot join keys; the df side is pre-aggregated so
+    the join carries one row per (doc, term), never a fan-out.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = F.broadcast(
+        docs.agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(ndocs)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by (tfidf desc, term asc) — the term
+    tie-break makes equal-score rows (same tf and df) deterministic.
+    One ROW_NUMBER window partitioned by doc on top of tfidf_terms."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.col("term").asc()
+    )
+    return (
+        tfidf_terms(docs, id_col, text_col)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
