@@ -459,3 +459,125 @@ def core_numbers_distributed(
                 f"core_numbers: no fixed point within {max_rounds} rounds"
             )
     return rdir.finalize(state).select("id", F.col("h").alias("core"))
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(u, v, support) for every canonical undirected edge: the number of
+    triangles containing it. Same degree-orientation adjacency-
+    intersection as triangles_distributed (out-degrees bounded O(sqrt(m)),
+    wedge rows never shuffled) but materializing one row per TRIANGLE and
+    folding each into its three edges."""
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+            .alias("e")
+        )
+        .select("e.s", "e.d")
+    )
+    adj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("d")).alias("nbrs")
+    )
+    tris = (
+        oriented.join(
+            adj.select(F.col("s").alias("u_"), F.col("nbrs").alias("nbrs_u")),
+            oriented["s"] == F.col("u_"),
+        )
+        .join(
+            adj.select(F.col("s").alias("v_"), F.col("nbrs").alias("nbrs_v")),
+            oriented["d"] == F.col("v_"),
+            "left",
+        )
+        .select(
+            "s",
+            "d",
+            F.explode(
+                F.expr(
+                    "array_intersect(nbrs_u, coalesce(nbrs_v, slice(nbrs_u, 1, 0)))"
+                )
+            ).alias("w"),
+        )
+    )
+    edge3 = (
+        tris.select(F.least("s", "d").alias("eu"), F.greatest("s", "d").alias("ev"))
+        .union(
+            tris.select(
+                F.least("s", "w").alias("eu"), F.greatest("s", "w").alias("ev")
+            )
+        )
+        .union(
+            tris.select(
+                F.least("d", "w").alias("eu"), F.greatest("d", "w").alias("ev")
+            )
+        )
+    )
+    sup = edge3.groupBy("eu", "ev").agg(F.count("*").alias("support"))
+    return und.join(
+        sup,
+        (und["u"] == sup["eu"]) & (und["v"] == sup["ev"]),
+        "left",
+    ).select(
+        "u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+    )
+
+
+def ktruss_distributed(
+    edges: DataFrame,
+    k: int,
+    id_cols: tuple = ("src", "dst"),
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Edges of the k-truss (u, v, support) — the maximal subgraph where
+    every edge is in >= k-2 triangles (nx.k_truss edge set; support
+    reported is the support INSIDE the truss at the fixed point).
+
+    Iterative peeling like kcore_distributed: recompute per-edge triangle
+    support on the surviving subgraph, drop edges under threshold, repeat
+    to a fixed point. Full recomputation per round keeps each round one
+    bounded dataflow (the decremental-update alternative needs per-edge
+    triangle lists in state — O(sum support) rows carried between rounds);
+    round count is the peel depth, typically small, and each round reuses
+    the skew-safe oriented-intersection support kernel.
+    """
+    if k < 2:
+        raise ValueError(f"ktruss: k must be >= 2, got {k}")
+    thresh = k - 2
+    und = _undirected(edges, id_cols).localCheckpoint(eager=True)
+    kept: list[DataFrame] = [und]
+    rdir = _ResetDir("ktruss")
+    prev_m = und.count()
+    r = 0
+    while r < max_rounds:
+        r += 1
+        sup = _edge_support(und)
+        und = (
+            sup.where(F.col("support") >= thresh)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        kept.append(und)
+        if r % 5 == 0:
+            und = rdir.reset(und, r)
+            kept.clear()
+        m = und.count()
+        if m == prev_m:
+            break
+        prev_m = m
+    else:
+        raise RuntimeError(f"ktruss: no fixed point within {max_rounds} rounds")
+    und = rdir.finalize(und)
+    return _edge_support(und)

@@ -296,3 +296,47 @@ def test_modularity_fallback_label_collision(spark):
     row = modularity(_sdf(spark, edges), labels).collect()[0]
     assert row["n_communities"] == 3
     assert abs(row["modularity"] - exp) < 1e-12, (row["modularity"], exp)
+
+
+def test_ktruss_matches_networkx(spark):
+    import networkx as nx
+
+    from deeprank_spark.operators.cohesion import ktruss_distributed
+
+    for seed, k in [(3, 3), (4, 4), (5, 5)]:
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+        g = nx.Graph((a, b) for a, b in edges if a != b)
+        exp = {(min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges}
+        e = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r["u"], r["v"]) for r in ktruss_distributed(e, k).collect()}
+        assert got == exp, (seed, k)
+
+
+def test_ktruss_support_and_clique(spark):
+    import itertools
+
+    from deeprank_spark.operators.cohesion import ktruss_distributed
+
+    # K5 + a pendant path: 5-truss = the K5 exactly, every edge support 3
+    edges = list(itertools.combinations(range(5), 2)) + [(4, 10), (10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = ktruss_distributed(e, 5).collect()
+    assert {(r["u"], r["v"]) for r in rows} == set(
+        itertools.combinations(range(5), 2)
+    )
+    assert all(r["support"] == 3 for r in rows)
+    # k=3 keeps only triangle-supported edges: the pendant path drops
+    rows3 = {(r["u"], r["v"]) for r in ktruss_distributed(e, 3).collect()}
+    assert (4, 10) not in rows3 and (10, 11) not in rows3
+
+
+def test_ktruss_validates_k(spark):
+    import pytest as _pytest
+
+    from deeprank_spark.operators.cohesion import ktruss_distributed
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="k must be >= 2"):
+        ktruss_distributed(e, 1)
