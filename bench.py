@@ -185,6 +185,14 @@ def run_bench() -> dict:
     extras["pagerank_supersteps_per_sec"] = round(run.supersteps / pr_wall, 4)
     extras["pagerank_edges"] = n_edges
     extras["pagerank_converged"] = run.converged
+    # HITS superstep throughput falls out of the already-timed g_hits
+    # headline row (fixed 16-superstep schedule, see q_g_hits)
+    if "g_hits" in times:
+        from __spark_entry__ import HITS_FULL_ITERS
+
+        extras["hits_supersteps_per_sec"] = round(
+            HITS_FULL_ITERS / times["g_hits"], 4
+        )
     extras["query_runs"] = runs
 
     # ANN quality: recall@5 of the multi-probe LSH path vs the exact
@@ -216,6 +224,7 @@ def run_bench() -> dict:
         "cpus": int(CPUS),
         "pagerank_supersteps_per_sec": extras["pagerank_supersteps_per_sec"],
         "pagerank_supersteps": extras["pagerank_supersteps"],
+        "hits_supersteps_per_sec": extras.get("hits_supersteps_per_sec"),
         "pagerank_edges": extras["pagerank_edges"],
         "ann_lsh_recall_at_5": extras["ann_lsh_recall_at_5"],
         "ann_ivf_recall_at_5": extras["ann_ivf_recall_at_5"],
