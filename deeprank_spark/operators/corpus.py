@@ -388,3 +388,47 @@ def dsir_logweights(
             F.col("logw"),
         )
     )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    n: int,
+    temperature: float = 1.0,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    logw_col: str = "logw",
+) -> DataFrame:
+    """The resampling half of DSIR: draw n docs WITHOUT replacement with
+    probability proportional to exp(logw / temperature), via the Gumbel
+    top-k trick (key = logw/T + Gumbel noise; take the n largest keys —
+    Vieira 2014). Noise is DETERMINISTIC: uniform from the md5-hex-prefix
+    of (seed | doc id), so the draw reproduces across engines and runs
+    (df.sample's partition-dependent RNG cannot). -> (doc_id, logw, key),
+    the selected rows.
+
+    Scale shape: map-only key computation; the selection is orderBy+limit,
+    which Spark plans as TakeOrderedAndProject — a per-partition top-n
+    plus a driver-side merge of n*P candidates, never a full sort shuffle.
+    Rows with NULL logw (unscorable docs) are excluded.
+    """
+    if temperature <= 0:
+        raise ValueError(f"dsir_resample: temperature must be > 0, got {temperature}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)  # (h+1)/(2^32+1): u strictly inside (0,1)
+    key = F.col(logw_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        weights.where(F.col(logw_col).isNotNull())
+        .select(F.col(id_col), F.col(logw_col), key.alias("key"))
+        .orderBy(F.desc("key"), F.col(id_col))
+        .limit(n)
+    )

@@ -112,12 +112,6 @@ def hits_distributed(
     base = verts.repartition(P, "id").persist()
     n = base.count()
 
-    def _done(state, steps, conv):
-        out = _finalize(state)
-        if return_run:
-            return KernelRun(out, steps, metrics, time.time() - t0, conv)
-        return out
-
     def _finalize(state):
         if state is None:
             return base.select(
@@ -298,3 +292,72 @@ def hits_distributed(
     if return_run:
         return KernelRun(out, step, metrics, time.time() - t0, converged)
     return out
+
+
+def hits_per_conv(gedges: DataFrame, max_iter: int = 100, tol: float = 1.0e-8) -> DataFrame:
+    """(conv_id, kind, key, hub, auth) for every conversation graph —
+    the per-conversation twin of hits_distributed (same embarrassingly-
+    parallel applyInPandas shape as pagerank_per_conv: ONE conv_id
+    shuffle, the whole power iteration vectorized in numpy per group).
+    Directed simple projection (parallel edges collapsed); the nx
+    schedule, including the edgeless all-zero divergence."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("key", StringType(), False),
+            StructField("hub", DoubleType(), False),
+            StructField("auth", DoubleType(), False),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"conv_id": [], "kind": [], "key": [], "hub": [], "auth": []}
+            )
+        conv = pdf["conv_id"].iloc[0]
+        skey = pdf["src_kind"].astype(str) + pdf["src"].astype(str)
+        dkey = pdf["dst_kind"].astype(str) + pdf["dst"].astype(str)
+        nodes, inv = np.unique(
+            np.concatenate([skey.to_numpy(), dkey.to_numpy()]), return_inverse=True
+        )
+        m = len(pdf)
+        n = len(nodes)
+        pairs = np.unique(inv[:m].astype(np.int64) * n + inv[m:].astype(np.int64))
+        s_idx, d_idx = pairs // n, pairs % n
+        h = np.full(n, 1.0 / n, dtype=np.float64)
+        a = np.zeros(n, dtype=np.float64)
+        if len(pairs):
+            for _ in range(max_iter):
+                hlast = h
+                a = np.bincount(d_idx, weights=hlast[s_idx], minlength=n)
+                h = np.bincount(s_idx, weights=a[d_idx], minlength=n)
+                h = h / h.max()
+                a = a / a.max()
+                if tol > 0 and np.abs(h - hlast).sum() < tol:
+                    break
+            a = a / a.sum()
+            h = h / h.sum()
+        else:
+            h = np.zeros(n)  # edgeless divergence, same as hits_distributed
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "kind": [x[0] for x in nodes],
+                "key": [x[1:] for x in nodes],
+                "hub": h,
+                "auth": a,
+            }
+        )
+
+    return gedges.groupBy("conv_id").applyInPandas(run, schema)

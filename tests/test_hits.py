@@ -123,3 +123,29 @@ def test_hits_nonconvergence_raises(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(RuntimeError, match="no convergence"):
         hits_distributed(e, max_iter=1, tol=1.0e-15)
+
+
+def test_hits_per_conv_matches_networkx(spark):
+    from deeprank_spark.config import CraftParams
+    from deeprank_spark.engine import digest as spark_digest
+    from deeprank_spark.operators.hits import hits_per_conv
+    from deeprank_spark.oracle import textgraph as otg
+    from deeprank_spark.transcripts import small_transcripts, transcripts_sdf
+
+    def enc(x):
+        return ("S" + str(x)) if isinstance(x, int) else ("W" + x)
+
+    pdf = small_transcripts(n_convs=8)
+    d = spark_digest(transcripts_sdf(spark, pdf), CraftParams())
+    got = {}
+    for r in hits_per_conv(d.gedges, max_iter=500, tol=1e-12).collect():
+        got[(r["conv_id"], r["kind"] + r["key"])] = (r["hub"], r["auth"])
+    for conv, grp in pdf.groupby("conv_id"):
+        sents = list(grp.sort_values("turn_idx")["text"])
+        g = otg.nx_graph(otg.digest(sents))
+        edges = [(enc(a), enc(b)) for a, b in g.edges()]
+        nh, na = hits_nx(edges, max_iter=500, tol=1e-12)
+        for node in nh:
+            gh, ga = got[(conv, node)]
+            assert math.isclose(gh, nh[node], rel_tol=0, abs_tol=1e-8), (conv, node)
+            assert math.isclose(ga, na[node], rel_tol=0, abs_tol=1e-8), (conv, node)

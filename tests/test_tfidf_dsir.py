@@ -199,3 +199,55 @@ def test_dsir_matches_duckdb_on_fixture(spark):
     drows = set(con.execute(sql).fetchall())
     assert len(srows) == 500
     assert srows == drows
+
+
+def _py_gumbel_key(doc_id, logw, temperature, seed="dsir"):
+    h = int(hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:8], 16)
+    u = (h + 1) / 4294967297.0
+    return logw / temperature - math.log(-math.log(u))
+
+
+def test_dsir_resample_matches_python(spark):
+    from deeprank_spark.operators.corpus import dsir_resample
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    w = dsir_logweights(docs, tgt, n_buckets=64)
+    got = dsir_resample(w, n=3).collect()
+    exp = _py_dsir(DOCS, TARGET, n_buckets=64)
+    keys = sorted(
+        (
+            (-_py_gumbel_key(d, lw, 1.0), d)
+            for d, (nn, lw) in exp.items()
+            if lw is not None
+        )
+    )
+    exp_ids = [d for _, d in keys[:3]]
+    assert [r["doc_id"] for r in got] == exp_ids
+    for r in got:
+        assert math.isclose(
+            r["key"],
+            _py_gumbel_key(r["doc_id"], exp[r["doc_id"]][1], 1.0),
+            rel_tol=0,
+            abs_tol=1e-9,
+        )
+
+
+def test_dsir_resample_low_temperature_is_argmax(spark):
+    from deeprank_spark.operators.corpus import dsir_resample
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    w = dsir_logweights(docs, tgt, n_buckets=64)
+    exp = _py_dsir(DOCS, TARGET, n_buckets=64)
+    best = max(
+        (d for d, (_, lw) in exp.items() if lw is not None),
+        key=lambda d: exp[d][1],
+    )
+    got = dsir_resample(w, n=1, temperature=1e-6).collect()
+    assert got[0]["doc_id"] == best
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        dsir_resample(w, n=1, temperature=0.0)
