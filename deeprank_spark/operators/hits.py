@@ -184,20 +184,19 @@ def hits_distributed(
                     .agg(F.sum("c").alias("c"))
                 )
             araw = araw.groupBy("id").agg(F.sum("c").alias("av"))
+            # the h-gather groups on the SOURCE id: its fan-in per key is
+            # that source's out-degree, which degree-capped link graphs
+            # bound; the in-degree hub skew salting targets lives in the
+            # a-gather above, so only that one pays the two-phase pass
+            # (measured: salting both made the salted variant strictly
+            # slower on an in-hub graph — the second pass bought nothing)
             hraw = (
                 araw.select(F.col("id").alias("aid"), "av")
                 .join(e_by_dst, F.col("aid") == F.col("fd"))
-                .select(F.col("fs").alias("id"), F.col("av").alias("c"), F.col("fd").alias("okey"))
+                .select(F.col("fs").alias("id"), F.col("av").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("hv"))
             )
-            if salt_buckets > 1:
-                hraw = (
-                    hraw.withColumn(
-                        "salt", F.pmod(F.xxhash64("okey"), F.lit(salt_buckets))
-                    )
-                    .groupBy("id", "salt")
-                    .agg(F.sum("c").alias("c"))
-                )
-            hraw = hraw.groupBy("id").agg(F.sum("c").alias("hv"))
             # ONE materialization per superstep: the raw gather sums land
             # in an eager checkpoint with the max-normalizers riding it as
             # observed metrics (computing them as separate scalar
