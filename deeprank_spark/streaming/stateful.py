@@ -369,3 +369,105 @@ def asof_enrich(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUT = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("k", StringType(), False),
+        StructField("est", LongType(), False),
+        StructField("err", LongType(), False),
+    ]
+)
+_HH_STATE = StructType(
+    [
+        StructField("keys", ArrayType(StringType()), False),
+        StructField("counts", ArrayType(LongType()), False),
+        StructField("errs", ArrayType(LongType()), False),
+    ]
+)
+
+
+def _make_hh_fn(capacity: int):
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        summary: dict = {}
+        if state.exists:
+            ks, cs, es = state.get
+            summary = {k: [c, e] for k, c, e in zip(ks, cs, es)}
+        batch = None
+        for pdf in pdfs:
+            vc = pdf["k"].value_counts()
+            batch = vc if batch is None else batch.add(vc, fill_value=0)
+        if batch is not None:
+            # SpaceSaving merge of the batch's exact counts (Metwally 2005;
+            # the loop is over DISTINCT batch keys + capacity, not rows —
+            # the row-volume work happened in the vectorized value_counts)
+            for k, c in batch.sort_values(ascending=False).items():
+                c = int(c)
+                if k in summary:
+                    summary[k][0] += c
+                elif len(summary) < capacity:
+                    summary[k] = [c, 0]
+                else:
+                    mk = min(summary, key=lambda x: summary[x][0])
+                    mc = summary[mk][0]
+                    del summary[mk]
+                    summary[k] = [mc + c, mc]
+        ks = sorted(summary, key=lambda x: (-summary[x][0], x))
+        state.update(
+            (
+                ks,
+                [summary[k][0] for k in ks],
+                [summary[k][1] for k in ks],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ks),
+                "k": ks,
+                "est": [summary[k][0] for k in ks],
+                "err": [summary[k][1] for k in ks],
+            }
+        )
+
+    return fn
+
+
+def heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "k",
+    capacity: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming top-key tracking with BOUNDED state: sharded SpaceSaving
+    summaries (Metwally et al. 2005). -> (shard, k, est, err) re-emitted
+    per shard each batch (update mode); the reader unions shard summaries
+    and takes the global top-k — SpaceSaving summaries are mergeable, and
+    per-key the guarantee est >= true >= est - err holds, with every key
+    of true frequency > N_shard/capacity guaranteed present in its shard.
+
+    Scale shape: rows are counted vectorized (value_counts) inside each
+    shard's Arrow batches; state per shard is <= capacity entries, so
+    total state is shards*capacity rows regardless of stream length —
+    the bounded-state answer to "what are the hot tools/urls/tokens in
+    an unbounded transcript feed". `shards` spreads both the per-batch
+    counting and the summary maintenance; one shard = the classic
+    single-summary algorithm.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream.select(
+        F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards)).alias(
+            "shard"
+        ),
+        F.col(key_col).cast("string").alias("k"),
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        _make_hh_fn(capacity),
+        outputStructType=HH_OUT,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

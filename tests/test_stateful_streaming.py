@@ -311,3 +311,51 @@ def test_asof_reordered_refuses_non_utc_session(spark):
             asof_enrich_reordered(df)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_heavy_hitters_bounds_and_restart(spark, tmp_path):
+    """Sharded SpaceSaving: est >= true >= est - err for every reported
+    key; keys hot enough (> N_shard/capacity) are guaranteed present;
+    state survives a second availableNow run on the same checkpoint."""
+    from collections import Counter
+
+    from deeprank_spark.streaming.stateful import heavy_hitters
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    # skewed stream: 'hot' dominates, 'warm' is frequent, long tail of
+    # one-off keys to pressure the capacity-4 summaries
+    batch1 = ["hot"] * 30 + ["warm"] * 12 + [f"t{i}" for i in range(25)]
+    batch2 = ["hot"] * 20 + ["warm"] * 10 + [f"u{i}" for i in range(25)]
+
+    def run(keys, base):
+        _rows(spark, keys, base_min=base).write.mode("append").parquet(src)
+        _run_stream(
+            spark,
+            src,
+            ck,
+            lambda s: heavy_hitters(s, capacity=4, shards=2),
+            out,
+            "update",
+        )
+
+    run(batch1, 0)
+    run(batch2, 1000)
+
+    true = Counter(batch1 + batch2)
+    rows = spark.read.parquet(out).collect()
+    # last emission per (shard, k) = the final summary state
+    latest = {}
+    for r in rows:
+        cur = latest.get((r["shard"], r["k"]))
+        if cur is None or r["est"] >= cur[0]:
+            latest[(r["shard"], r["k"])] = (r["est"], r["err"])
+    final_keys = {k for (_, k) in latest}
+    assert "hot" in final_keys and "warm" in final_keys
+    for (shard, k), (est, err) in latest.items():
+        assert est >= true[k] >= est - err, (k, est, err, true[k])
+    # the global top-2 by est must be the genuinely hot keys
+    top = sorted(latest.items(), key=lambda kv: -kv[1][0])[:2]
+    assert {k for ((_, k), _) in top} == {"hot", "warm"}
