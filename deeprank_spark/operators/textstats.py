@@ -245,3 +245,43 @@ def tfidf_top_terms(
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
     )
+
+
+def approx_corpus_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rsd: float = 0.02,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-row sketch-based corpus profile — the approximate aggregates a
+    100 TB profiling pass uses where exact ones need a wide shuffle:
+
+    - approx_distinct_tokens: HyperLogLog++ (Spark approx_count_distinct,
+      relative standard deviation `rsd`) over the exploded token stream —
+      vocabulary size without materializing an exact distinct.
+    - len_quantiles: Greenwald-Khanna percentile_approx of per-doc token
+      counts at the requested quantiles (rank error <= 1/accuracy).
+    - n_docs, total_tokens: exact (cheap partial aggregates) for context.
+
+    Both sketch families are MERGEABLE partial aggregates (map-side
+    combined, constant-size state per partition), so the whole profile is
+    one scan + a 1-row reduce at any scale. Accuracy is pinned by
+    differential tests against the exact aggregates on fixture data.
+    """
+    t = tokens_col(F.col(text_col))
+    per_doc = docs.select(F.col(id_col), F.size(t).alias("n_tokens"))
+    qlist = list(quantiles)
+    base = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.percentile_approx(
+            "n_tokens", F.array(*[F.lit(q) for q in qlist]), F.lit(accuracy)
+        ).alias("len_quantiles"),
+    )
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .agg(F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens"))
+    )
+    return base.crossJoin(F.broadcast(vocab))

@@ -251,3 +251,34 @@ def test_dsir_resample_low_temperature_is_argmax(spark):
 
     with _pytest.raises(ValueError, match="temperature"):
         dsir_resample(w, n=1, temperature=0.0)
+
+
+def test_approx_corpus_stats_bounds(spark):
+    """Sketch accuracy vs exact aggregates on the fixture corpus: HLL++
+    within 3*rsd of exact distinct; GK quantiles within rank error."""
+    from deeprank_spark.operators.textstats import approx_corpus_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    row = approx_corpus_stats(docs, rsd=0.02).collect()[0]
+
+    import pyspark.sql.functions as F
+
+    from deeprank_spark.operators.textstats import tokens_col
+
+    exact_vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    lens = sorted(
+        r[0]
+        for r in docs.select(F.size(tokens_col(F.col("text")))).collect()
+    )
+    assert row["n_docs"] == len(lens)
+    assert row["total_tokens"] == sum(lens)
+    assert abs(row["approx_distinct_tokens"] - exact_vocab) <= 0.06 * exact_vocab
+    n = len(lens)
+    for q, got in zip((0.5, 0.9, 0.99), row["len_quantiles"]):
+        lo = lens[max(0, int((q - 0.01) * n) - 2)]
+        hi = lens[min(n - 1, int((q + 0.01) * n) + 2)]
+        assert lo <= got <= hi, (q, got, lo, hi)
