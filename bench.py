@@ -164,7 +164,7 @@ def run_bench() -> dict:
 
     # g_pagerank_full headline + supersteps/sec: run the distributed kernel
     # directly in CONVERGENCE mode (tol=1e-6), which is what the metric
-    # states. The contract query variant runs a fixed 36-superstep schedule
+    # states. The contract query variant runs a fixed 48-superstep schedule
     # for DuckDB-oracle determinism (__spark_entry__.q_g_pagerank_full) and
     # would overstate the converged cost here.
     from __spark_entry__ import _bipartite_edges
