@@ -285,3 +285,67 @@ def approx_corpus_stats(
         .agg(F.approx_count_distinct("tok", rsd).alias("approx_distinct_tokens"))
     )
     return base.crossJoin(F.broadcast(vocab))
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS scheme): hash every token k-gram, slide a window of w
+    hashes, select the RIGHTMOST minimal hash per window, dedup the
+    selections. -> exploded (doc_id, pos, h), pos the 1-based k-gram
+    position. Guarantee: any shared token run of >= w+k-1 tokens between
+    two documents shares at least one selected hash — the local
+    (position-robust) upgrade over mod-p sampling, whose selections a
+    single unlucky edit can erase.
+
+    Pure expressions end to end (transform/slice/array_min over in-row
+    arrays — nothing leaves the row until the final explode), with the
+    engine-portable md5-prefix hash so a SQL oracle reproduces the exact
+    integers. Docs with fewer than k tokens yield no rows; docs with
+    fewer than w k-grams use one window of all of them (their minimum),
+    the standard short-input degeneration.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnowing: k and w must be >= 1, got k={k} w={w}")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    hexp = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d2 = docs.select(F.col(id_col), hexp.alias("hs"))
+    m = F.size("hs")
+    wl = F.least(F.lit(w), m)
+    win = F.transform(
+        F.sequence(F.lit(1), m - wl + 1),
+        lambda j: F.struct(
+            (
+                j
+                + wl
+                - F.array_position(
+                    F.reverse(F.slice(F.col("hs"), j, wl)),
+                    F.array_min(F.slice(F.col("hs"), j, wl)),
+                )
+            )
+            .cast("int")
+            .alias("pos"),
+            F.array_min(F.slice(F.col("hs"), j, wl)).alias("h"),
+        ),
+    )
+    return (
+        d2.where(m > 0)
+        .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("fp"))
+        .select(F.col(id_col), F.col("fp.pos").alias("pos"), F.col("fp.h").alias("h"))
+    )

@@ -282,3 +282,93 @@ def test_approx_corpus_stats_bounds(spark):
         lo = lens[max(0, int((q - 0.01) * n) - 2)]
         hi = lens[min(n - 1, int((q + 0.01) * n) + 2)]
         assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def _py_winnow(text, k=5, w=4):
+    t = _toks(text)
+    hs = [
+        int(hashlib.md5(" ".join(t[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    if not hs:
+        return set()
+    wl = min(w, len(hs))
+    sel = set()
+    for j in range(len(hs) - wl + 1):
+        wnd = hs[j : j + wl]
+        mn = min(wnd)
+        rpos = wl - 1 - wnd[::-1].index(mn)
+        sel.add((j + rpos + 1, mn))
+    return sel
+
+
+def test_winnowing_matches_python(spark):
+    import random as _random
+
+    from deeprank_spark.operators.textstats import winnowing_fingerprints
+
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40))))
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = winnowing_fingerprints(df, k=3, w=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for d, text in docs:
+        assert got.get(d, set()) == _py_winnow(text, k=3, w=4), d
+
+
+def test_winnowing_containment_guarantee(spark):
+    # any shared run of >= w+k-1 tokens must share a selected hash
+    from deeprank_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1 for k=3,w=4
+    docs = [
+        (1, "one two three " + shared + " four five"),
+        (2, shared + " completely different tail here"),
+        (3, "no overlap with anything else at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = {}
+    for r in winnowing_fingerprints(df, k=3, w=4).collect():
+        fp.setdefault(r["doc_id"], set()).add(r["h"])
+    assert fp[1] & fp[2], "guaranteed shared fingerprint missing"
+    assert not (fp[1] & fp[3])
+
+
+def test_winnowing_matches_duckdb(spark):
+    from deeprank_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    srows = {tuple(r) for r in winnowing_fingerprints(docs, k=4, w=5).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), "
+        "x -> length(x) > 0)"
+    )
+    sql = (
+        f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+        "hs AS (SELECT doc_id, CASE WHEN len(tk) >= 4 THEN "
+        "list_transform(range(1, len(tk) - 2), i -> "
+        "('0x' || substr(md5(array_to_string(list_slice(tk, i, i + 3), ' ')), 1, 15))::BIGINT) "
+        "ELSE [] END AS h FROM t), "
+        "sel AS (SELECT doc_id, list_transform("
+        "range(1, len(h) - LEAST(5, len(h)) + 2), j -> {"
+        "'pos': j + LEAST(5, len(h)) - list_position(list_reverse("
+        "list_slice(h, j, j + LEAST(5, len(h)) - 1)), "
+        "list_min(list_slice(h, j, j + LEAST(5, len(h)) - 1))), "
+        "'h': list_min(list_slice(h, j, j + LEAST(5, len(h)) - 1))}) AS fps "
+        "FROM hs WHERE len(h) > 0) "
+        # DuckDB list_distinct can't take struct elements; dedup after
+        # the unnest instead (same multiset as Spark's array_distinct)
+        "SELECT DISTINCT doc_id, CAST(f.pos AS INT), f.h "
+        "FROM sel, UNNEST(fps) AS u(f)"
+    )
+    drows = set(con.execute(sql).fetchall())
+    assert len(srows) > 1000
+    assert srows == drows
