@@ -360,3 +360,173 @@ def hits_per_conv(gedges: DataFrame, max_iter: int = 100, tol: float = 1.0e-8) -
         )
 
     return gedges.groupBy("conv_id").applyInPandas(run, schema)
+
+
+def eigenvector_distributed(
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    num_partitions: int | None = None,
+    salt_buckets: int = 0,
+    checkpoint_dir: str | None = None,
+    run_id: str = "eig",
+    checkpoint_interval: int = 10,
+    resume: bool = False,
+    return_run: bool = False,
+) -> DataFrame:
+    """Eigenvector centrality -> (id, centrality), nx semantics
+    (nx.eigenvector_centrality: power iteration on A^T + I — the +I makes
+    it converge on bipartite structures — L2 normalization per step, L1
+    stop err < n*tol, raise on non-convergence; directed graphs give the
+    LEFT eigenvector, i.e. centrality flows along edge direction like
+    nx's successor loop). Start vector: uniform 1/n.
+
+    Same scale shape as hits_distributed: one co-partitioned gather per
+    superstep, the sum-of-squares normalizer rides the eager state
+    checkpoint as an observed metric, the L1 error is one shuffle-free
+    scan of the materialized blocks, durable checkpoint/lineage/resume
+    via the shared superstep protocol. One documented float divergence
+    from nx: the norm is sqrt(sum(x^2)) (pairwise partial aggregation)
+    where nx uses math.hypot's compensated accumulation — differences
+    land far below the convergence tolerance (pinned by the nx
+    differential test at 1e-8).
+    """
+    spark = edges.sparkSession
+    t0 = time.time()
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    default_P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        P = num_partitions
+    else:
+        m = e.count()
+        P = max(4, min(default_P, m // 100_000 + 4))
+    saved_conf = {
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    e_by_src = (
+        e.select(F.col("src").alias("es"), F.col("dst").alias("ed"))
+        .repartition(P, "es")
+        .persist()
+    )
+    e_by_src.count()
+    base = verts.repartition(P, "id").persist()
+    n = base.count()
+    if n == 0:
+        e_by_src.unpersist()
+        base.unpersist()
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
+        out = base.select("id", F.lit(0.0).alias("centrality"))
+        return KernelRun(out, 0, [], time.time() - t0, True) if return_run else out
+
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "x"))
+        if durable
+        else None
+    )
+    step = 0
+    converged = False
+    state = None
+    if durable and resume:
+        st, done_steps, was_converged = ckpt.resume(spark)
+        if st is not None:
+            state = st.select("id", "x").repartition(P, "id")
+            step = done_steps
+            converged = was_converged
+    if state is None:
+        state = base.select("id", F.lit(1.0 / n).alias("x")).localCheckpoint(
+            eager=True
+        )
+
+    metrics: list = []
+    kept = [state]
+    rdir = _ResetDir("eig")
+    last_written = step if durable and resume else -1
+    err = None
+    try:
+        while not converged and step < max_iter:
+            it0 = time.time()
+            contrib = (
+                state.select(F.col("id").alias("sid"), "x")
+                .join(e_by_src, F.col("sid") == F.col("es"))
+                .select(F.col("ed").alias("id"), F.col("x").alias("c"), F.col("es").alias("okey"))
+            )
+            if salt_buckets > 1:
+                contrib = (
+                    contrib.withColumn(
+                        "salt", F.pmod(F.xxhash64("okey"), F.lit(salt_buckets))
+                    )
+                    .groupBy("id", "salt")
+                    .agg(F.sum("c").alias("c"))
+                )
+            summed = contrib.groupBy("id").agg(F.sum("c").alias("c"))
+            obs = Observation(f"eig_step_{run_id}_{step + 1}")
+            raw = (
+                base.join(summed, "id", "left")
+                .join(state.select("id", F.col("x").alias("prev")), "id")
+                .select(
+                    "id",
+                    (F.col("prev") + F.coalesce(F.col("c"), F.lit(0.0))).alias(
+                        "raw"
+                    ),
+                    "prev",
+                )
+                .observe(obs, F.sum(F.col("raw") * F.col("raw")).alias("ss"))
+                .localCheckpoint(eager=True)
+            )
+            norm = float(obs.get["ss"]) ** 0.5 or 1.0
+            err = float(
+                raw.agg(
+                    F.sum(F.abs(F.col("raw") / F.lit(norm) - F.col("prev")))
+                ).first()[0]
+            )
+            kept.append(raw)
+            state = raw.select("id", (F.col("raw") / F.lit(norm)).alias("x"))
+            step += 1
+            wall_ms = (time.time() - it0) * 1000.0
+            converged = err < n * tol
+            metrics.append({"superstep": step, "l1_delta": err, "wall_ms": wall_ms})
+            if durable and (step % checkpoint_interval == 0 or converged):
+                state = ckpt.write(state, step, wall_ms, int(err * 1e9), converged)
+                last_written = step
+                kept.clear()
+            elif (step % 5) == 0:
+                state = rdir.reset(state, step)
+                kept.clear()
+    finally:
+        for k, v in saved_conf.items():
+            spark.conf.set(k, v)
+        e_by_src.unpersist()
+        base.unpersist()
+    if durable and step > last_written:
+        state = ckpt.write(
+            state,
+            step,
+            metrics[-1]["wall_ms"] if metrics else 0.0,
+            int(err * 1e9) if err is not None else -1,
+            converged,
+        )
+    if not converged:
+        raise RuntimeError(
+            f"eigenvector_distributed: no convergence in {max_iter} supersteps "
+            f"(last l1={err})"
+        )
+    out = (state if durable else rdir.finalize(state)).select(
+        "id", F.col("x").alias("centrality")
+    )
+    if return_run:
+        return KernelRun(out, step, metrics, time.time() - t0, converged)
+    return out

@@ -9,7 +9,7 @@ multi-executor cluster; only --master and the IO locations change):
         --master <cluster-or-local[N]> \
         --py-files dist/deeprank_spark.zip \
         jobs/run_kernels.py \
-        --kernel {pagerank,hits,cc,lpa,scc,sssp,wsssp} \
+        --kernel {pagerank,hits,eig,cc,lpa,scc,sssp,wsssp} \
         (--edges <parquet with src,dst[,w]> | --sf-dir <testdata dir>) \
         --out <parquet dir> \
         [--checkpoint-dir <dir> [--run-id <id>] [--resume]] \
@@ -59,7 +59,7 @@ def main() -> None:
     ap.add_argument(
         "--kernel",
         required=True,
-        choices=["pagerank", "hits", "cc", "lpa", "scc", "sssp", "wsssp"],
+        choices=["pagerank", "hits", "eig", "cc", "lpa", "scc", "sssp", "wsssp"],
     )
     ap.add_argument("--edges", default=None)
     ap.add_argument("--sf-dir", default=None)
@@ -86,7 +86,7 @@ def main() -> None:
     # imports AFTER session creation: on a cluster these resolve from the
     # --py-files zip shipped to every executor's PYTHONPATH
     from deeprank_spark.operators.components import components_distributed
-    from deeprank_spark.operators.hits import hits_distributed
+    from deeprank_spark.operators.hits import eigenvector_distributed, hits_distributed
     from deeprank_spark.operators.labelprop import lpa_distributed
     from deeprank_spark.operators.pagerank import pagerank_distributed
     from deeprank_spark.operators.paths import sssp_distributed, wsssp_distributed
@@ -107,6 +107,13 @@ def main() -> None:
         run = pagerank_distributed(edges, **kw)
         out_df, rounds, converged = run.ranks, run.supersteps, run.converged
         metrics = run.deltas
+    elif args.kernel == "eig":
+        kw = dict(tol=args.tol, return_run=True, **durable)
+        if args.max_iter:
+            kw["max_iter"] = args.max_iter
+        run = eigenvector_distributed(edges, **kw)
+        out_df, rounds, converged = run.labels, run.rounds, run.converged
+        metrics = run.metrics
     elif args.kernel == "hits":
         # hits convergence uses nx's raw (unscaled) tol; 1e-6 default is
         # too loose a default there, so map the shared flag through as-is
