@@ -581,3 +581,77 @@ def ktruss_distributed(
         raise RuntimeError(f"ktruss: no fixed point within {max_rounds} rounds")
     und = rdir.finalize(und)
     return _edge_support(und)
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+) -> DataFrame:
+    """Per-community conductance over the undirected simple projection:
+    phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the standard community
+    quality score alongside modularity (lower = better-separated).
+    labels: (id, label); unlabeled endpoints raise (a silent drop would
+    understate cuts). -> (label, n_vertices, cut, volume, conductance);
+    communities spanning the whole volume get NULL conductance (the
+    denominator min(vol, 2m-vol) is 0 — conductance is undefined there).
+
+    One labels join per endpoint (co-partitioned equi-joins) + two
+    aggregations; nothing quadratic, no Python.
+    """
+    und = _undirected(edges, id_cols)
+    lu = labels.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    # the guard lives INSIDE the kept columns: a separate assert_true
+    # column gets pruned by Catalyst (same pitfall pack_sequences
+    # documents); raise_error only evaluates on the NULL branch
+    def _guarded(c):
+        return F.when(
+            F.col("lu").isNotNull() & F.col("lv").isNotNull(), F.col(c)
+        ).otherwise(
+            F.raise_error(F.lit("conductance: unlabeled edge endpoint"))
+        )
+
+    tagged = (
+        und.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(_guarded("lu").alias("lu"), _guarded("lv").alias("lv"))
+    )
+    m2 = tagged.count() * 2  # 2m = total volume
+    # volume: degree mass per label (each edge adds 1 to both endpoints'
+    # labels — same label twice for internal edges)
+    vol = (
+        tagged.select(F.col("lu").alias("label"))
+        .unionByName(tagged.select(F.col("lv").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("volume"))
+    )
+    cut = (
+        tagged.where(F.col("lu") != F.col("lv"))
+        .select(F.explode(F.array("lu", "lv")).alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("cut"))
+    )
+    nv = labels.groupBy("label").agg(F.count("*").alias("n_vertices"))
+    return (
+        nv.join(vol, "label", "left")
+        .join(cut, "label", "left")
+        .select(
+            "label",
+            "n_vertices",
+            F.coalesce(F.col("cut"), F.lit(0)).alias("cut"),
+            F.coalesce(F.col("volume"), F.lit(0)).alias("volume"),
+            F.when(
+                F.least(
+                    F.coalesce(F.col("volume"), F.lit(0)),
+                    F.lit(m2) - F.coalesce(F.col("volume"), F.lit(0)),
+                )
+                > 0,
+                F.coalesce(F.col("cut"), F.lit(0)).cast("double")
+                / F.least(
+                    F.coalesce(F.col("volume"), F.lit(0)),
+                    F.lit(m2) - F.coalesce(F.col("volume"), F.lit(0)),
+                ),
+            ).alias("conductance"),
+        )
+    )

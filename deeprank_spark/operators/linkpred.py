@@ -131,3 +131,77 @@ def link_prediction_scores(
             F.coalesce(F.col("aa"), F.lit(0.0)).alias("adamic_adar"),
         )
     )
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    per_vertex: int = 5,
+    seed: str = "neg",
+    id_cols: tuple = ("src", "dst"),
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction / embedding
+    training: for every vertex u, up to `per_vertex` candidate pairs
+    (u, v) where v is hash-picked uniformly from the global vertex list
+    and (u, v) is NOT an observed edge (self-pairs and duplicates also
+    dropped). -> (src, dst, slot).
+
+    The pick is verts_sorted[ H(seed|u|slot) % V ] with the portable
+    md5-prefix hash, so the sample is reproducible across runs/engines
+    (the property df.sample cannot give) and mirrorable in a pure-python
+    oracle. Collisions with real edges are REMOVED, not re-drawn —
+    re-draw loops are unbounded dataflow; the caller over-asks
+    (per_vertex slightly above target) instead, the standard trick.
+
+    Scale shape: the indexed vertex list is one global sort (range
+    partitioning, paid once), candidates are an explode + one
+    co-partitioned join to resolve the index, and the exclusion is one
+    LEFT ANTI join against the observed edges on (src, dst).
+    """
+    if per_vertex < 1:
+        raise ValueError(f"negative_edge_samples: per_vertex must be >= 1, got {per_vertex}")
+    from pyspark.sql import Window
+
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    verts = (
+        e.select(F.col("s").alias("id")).union(e.select(F.col("d").alias("id"))).distinct()
+    )
+    w = Window.orderBy("id")
+    indexed = verts.select(
+        "id", (F.row_number().over(w) - 1).alias("ix")
+    ).localCheckpoint(eager=True)
+    nv = indexed.count()
+    cand = indexed.select(
+        F.col("id").alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(per_vertex - 1))).alias("slot"),
+    ).select(
+        "src",
+        "slot",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.col("src").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % nv
+        ).alias("ix"),
+    )
+    picked = cand.join(indexed, "ix").select(
+        "src", F.col("id").alias("dst"), "slot"
+    )
+    return (
+        picked.where(F.col("src") != F.col("dst"))
+        .join(e, (picked["src"] == e["s"]) & (picked["dst"] == e["d"]), "left_anti")
+        .distinct()
+    )

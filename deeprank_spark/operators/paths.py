@@ -307,3 +307,34 @@ def wsssp_distributed(
     if return_run:
         return KernelRun(out, rounds, metrics, time.time() - t0, converged)
     return out
+
+
+def diameter_double_sweep(
+    edges: DataFrame,
+    id_cols: tuple = ("src", "dst"),
+    max_iter: int = 200,
+) -> dict:
+    """Double-sweep diameter LOWER bound on the undirected projection
+    (Magnien-Latapy-Habib 2009): BFS from the smallest vertex id, then
+    BFS from the farthest vertex found (deterministic (dist, id)
+    tie-break); the second eccentricity is the bound — exact on trees,
+    tight in practice on real graphs. The exact diameter needs all-pairs
+    (O(V) BFS rounds), the documented non-goal; the bound is what scale
+    practice uses. Two sssp_distributed runs (frontier BFS, per-round
+    cost = frontier out-degree); disconnected graphs bound the START
+    vertex's component, the standard behavior. Returns
+    {"lower_bound", "start", "far_vertex"}."""
+    src, dst = id_cols
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    start = e.select(F.least("a", "b").alias("v")).agg(F.min("v")).first()[0]
+    if start is None:
+        return {"lower_bound": 0, "start": None, "far_vertex": None}
+    d1 = sssp_distributed(e, source=start, id_cols=("a", "b"), max_iter=max_iter)
+    far = d1.orderBy(F.desc("dist"), F.col("id")).first()
+    d2 = sssp_distributed(
+        e, source=far["id"], id_cols=("a", "b"), max_iter=max_iter
+    )
+    ecc = d2.agg(F.max("dist")).first()[0]
+    return {"lower_bound": int(ecc), "start": start, "far_vertex": far["id"]}

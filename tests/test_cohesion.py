@@ -340,3 +340,47 @@ def test_ktruss_validates_k(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="k must be >= 2"):
         ktruss_distributed(e, 1)
+
+
+def test_conductance_matches_networkx(spark):
+    import networkx as nx
+
+    from deeprank_spark.operators.cohesion import conductance
+    from deeprank_spark.operators.labelprop import lpa_distributed
+
+    rng = random.Random(9)
+    edges = sorted({(rng.randrange(24), rng.randrange(24)) for _ in range(70)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labels = lpa_distributed(e, max_iter=10)
+    got = {
+        r["label"]: (r["n_vertices"], r["cut"], r["volume"], r["conductance"])
+        for r in conductance(e, labels).collect()
+    }
+    g = nx.Graph((a, b) for a, b in edges if a != b)
+    lab = {r["id"]: r["label"] for r in labels.collect()}
+    comms = {}
+    for v, l in lab.items():
+        comms.setdefault(l, set()).add(v)
+    for l, S in comms.items():
+        nv, cut, vol, phi = got[l]
+        assert nv == len(S)
+        exp_cut = nx.cut_size(g, S)
+        exp_vol = nx.volume(g, S)
+        assert (cut, vol) == (exp_cut, exp_vol), l
+        denom = min(exp_vol, 2 * g.number_of_edges() - exp_vol)
+        if denom > 0:
+            assert abs(phi - exp_cut / denom) < 1e-12, l
+        else:
+            assert phi is None
+
+
+def test_conductance_rejects_unlabeled(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from deeprank_spark.operators.cohesion import conductance
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame([(1, 1), (2, 1)], "id long, label long")
+    with _pytest.raises(SparkRuntimeException, match="unlabeled"):
+        conductance(e, labels).collect()

@@ -511,3 +511,56 @@ def test_wsssp_checkpoint_resume(tmp_path, spark):
     b = {r["id"]: r["dist"] for r in resumed.labels.collect()}
     assert a == b == {i: float(i) for i in range(16)}
     assert resumed.rounds == full.rounds and resumed.converged
+
+
+def test_diameter_double_sweep(spark):
+    import networkx as nx
+
+    from deeprank_spark.operators.paths import diameter_double_sweep
+
+    # path graph: double sweep is EXACT on trees
+    path = [(i, i + 1) for i in range(9)]
+    e = spark.createDataFrame(path, "src long, dst long")
+    out = diameter_double_sweep(e)
+    assert out["lower_bound"] == 9
+    # random connected graph: bound must be a true lower bound <= diameter
+    # and >= the eccentricity-based floor
+    rng = random.Random(3)
+    edges = sorted({(rng.randrange(15), rng.randrange(15)) for _ in range(40)})
+    edges += [(i, i + 1) for i in range(14)]  # ensure connected
+    e2 = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+    got = diameter_double_sweep(e2)
+    g = nx.Graph((a, b) for a, b in set(edges) if a != b)
+    assert got["lower_bound"] <= nx.diameter(g)
+    assert got["lower_bound"] >= max(
+        nx.eccentricity(g, v) for v in (got["start"], got["far_vertex"])
+    ) - 0  # second-sweep ecc is exactly the far vertex's eccentricity
+    assert got["lower_bound"] == nx.eccentricity(g, got["far_vertex"])
+
+
+def test_negative_edge_samples(spark):
+    import hashlib
+
+    from deeprank_spark.operators.linkpred import negative_edge_samples
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    rows = negative_edge_samples(e, per_vertex=4, seed="t").collect()
+    got = {(r["src"], r["dst"], r["slot"]) for r in rows}
+    verts = sorted({x for ed in edges for x in ed})
+    eset = set(edges)
+    exp = set()
+    for u in verts:
+        for slot in range(4):
+            h = int(hashlib.md5(f"t|{u}|{slot}".encode()).hexdigest()[:8], 16)
+            v = verts[h % len(verts)]
+            if v != u and (u, v) not in eset:
+                exp.add((u, v, slot))
+    assert got == exp
+    for (u, v, _) in got:
+        assert (u, v) not in eset and u != v
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="per_vertex"):
+        negative_edge_samples(e, per_vertex=0)
