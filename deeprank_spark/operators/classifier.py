@@ -21,8 +21,6 @@ expressions; the only driver traffic per step is the B-row gradient.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

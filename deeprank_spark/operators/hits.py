@@ -1,7 +1,8 @@
-"""HITS (hubs & authorities, Kleinberg 1999) — distributed power-iteration
-kernel (north-rule link-analysis family, companion to pagerank.py; the
-reference ranks vertices with nx.pagerank only, deepRank.py:535 — HITS is
-a beyond-reference addition in the same "rank nodes of the text graph"
+"""HITS (hubs & authorities, Kleinberg 1999) and eigenvector centrality —
+the distributed power-iteration kernels beyond PageRank (north-rule
+link-analysis family, companions to pagerank.py; the reference ranks
+vertices with nx.pagerank only, deepRank.py:535 — both are
+beyond-reference additions in the same "rank nodes of the text graph"
 role, e.g. customers-as-hubs / suppliers-as-authorities on the bipartite
 transcript projection).
 
