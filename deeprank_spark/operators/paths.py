@@ -338,3 +338,161 @@ def diameter_double_sweep(
     )
     ecc = d2.agg(F.max("dist")).first()[0]
     return {"lower_bound": int(ecc), "start": start, "far_vertex": far["id"]}
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    source,
+    ts_col: str = "ts",
+    id_cols: tuple = ("src", "dst"),
+    start_ts: int | None = None,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    run_id: str = "treach",
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    return_run: bool = False,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability on a TEMPORAL edge
+    table (src, dst, ts): a path is valid only if successive edge
+    timestamps are non-decreasing — the right reachability notion for
+    transcript/interaction graphs, where plain reachability overstates
+    influence (an edge in the past cannot carry information that arrives
+    later). -> (id, arrival) with arrival = the earliest long timestamp
+    at which `source`'s influence can reach id (the source row carries
+    start_ts); unreachable vertices are absent.
+
+    start_ts: the moment the source starts (edges before it are
+    unusable); default = min edge ts (source can take any edge).
+
+    Frontier relaxation like sssp, with one structural difference:
+    arrival times can improve MORE than once (a later-found earlier
+    arrival at u re-opens u's out-edges), so this is Bellman-Ford-shaped
+    — the frontier is "vertices whose arrival improved last round" and
+    convergence is an empty improvement set. Non-decreasing chains inside
+    one timestamp resolve across rounds (the >= comparison). Durable
+    checkpoint/resume via the shared superstep protocol; budget
+    exhaustion raises after persisting the in-flight state, like the
+    other frontier kernels.
+    """
+    src, dst = id_cols
+    e = (
+        edges.select(
+            F.col(src).alias("a"),
+            F.col(dst).alias("b"),
+            F.col(ts_col).cast("long").alias("t"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    t0 = time.time()
+    if start_ts is None:
+        start_ts = e.agg(F.min("t")).first()[0]
+        if start_ts is None:
+            out = spark.createDataFrame([(source, 0)], "id long, arrival long").limit(0)
+            return (
+                KernelRun(out, 0, [], time.time() - t0, True) if return_run else out
+            )
+
+    durable = checkpoint_dir is not None
+    ckpt = (
+        SuperstepCheckpointer(checkpoint_dir, run_id, ("id", "arrival", "frontier"))
+        if durable
+        else None
+    )
+    rounds = 0
+    converged = False
+    metrics = []
+    arr = frontier = None
+    if durable and resume:
+        st, done_rounds, was_converged = ckpt.resume(spark)
+        if st is not None:
+            arr = st.select("id", "arrival")
+            frontier = st.where("frontier").select("id", "arrival")
+            rounds = done_rounds
+            converged = was_converged
+    if arr is None:
+        arr = spark.createDataFrame(
+            [(source, int(start_ts))], "id long, arrival long"
+        ).localCheckpoint(eager=True)
+        frontier = arr
+
+    kept = [arr]
+    rdir = _ResetDir("treach")
+    last_written = rounds if durable and resume else -1
+    n_imp = None
+    while not converged and rounds < max_iter:
+        it0 = time.time()
+        cand = (
+            frontier.join(e, frontier["id"] == e["a"])
+            .where(F.col("t") >= F.col("arrival"))
+            .groupBy(e["b"].alias("id"))
+            .agg(F.min("t").alias("cand"))
+        )
+        improved = (
+            cand.join(arr, "id", "left")
+            .where(F.col("arrival").isNull() | (F.col("cand") < F.col("arrival")))
+            .select("id", F.col("cand").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        n_imp = improved.count()
+        if n_imp > 0:
+            arr = (
+                arr.join(improved.select("id"), "id", "left_anti")
+                .union(improved)
+                .localCheckpoint(eager=True)
+            )
+            kept.append(arr)
+            kept.append(improved)
+        frontier = improved
+        rounds += 1
+        wall_ms = (time.time() - it0) * 1000.0
+        converged = n_imp == 0
+        metrics.append({"round": rounds, "improved": int(n_imp), "wall_ms": wall_ms})
+        if durable and (rounds % checkpoint_interval == 0 or converged):
+            st = ckpt.write(
+                arr.join(
+                    frontier.select("id", F.lit(True).alias("frontier")),
+                    "id",
+                    "left",
+                ).select(
+                    "id", "arrival", F.coalesce("frontier", F.lit(False)).alias("frontier")
+                ),
+                rounds,
+                wall_ms,
+                n_imp,
+                converged,
+            )
+            arr = st.select("id", "arrival")
+            frontier = st.where("frontier").select("id", "arrival")
+            last_written = rounds
+            kept.clear()
+        elif (rounds % 5) == 0:
+            arr = rdir.reset(arr, rounds)
+            kept.clear()
+            kept.append(frontier)
+    if not converged:
+        if durable and rounds > last_written:
+            ckpt.write(
+                arr.join(
+                    frontier.select("id", F.lit(True).alias("frontier")),
+                    "id",
+                    "left",
+                ).select(
+                    "id", "arrival", F.coalesce("frontier", F.lit(False)).alias("frontier")
+                ),
+                rounds,
+                metrics[-1]["wall_ms"] if metrics else 0.0,
+                n_imp if n_imp is not None else -1,
+                False,
+            )
+        raise RuntimeError(
+            f"temporal_reachability: improvements after {max_iter} rounds; "
+            "raise max_iter"
+        )
+    out = arr if durable else rdir.finalize(arr)
+    if return_run:
+        return KernelRun(out, rounds, metrics, time.time() - t0, converged)
+    return out

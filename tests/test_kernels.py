@@ -564,3 +564,91 @@ def test_negative_edge_samples(spark):
 
     with _pytest.raises(ValueError, match="per_vertex"):
         negative_edge_samples(e, per_vertex=0)
+
+
+def _py_temporal(edges, source, start_ts):
+    # relaxation to fixpoint: the obviously-correct oracle
+    arr = {source: start_ts}
+    changed = True
+    while changed:
+        changed = False
+        for (u, v, t) in edges:
+            if u == v:
+                continue
+            if u in arr and t >= arr[u] and (v not in arr or t < arr[v]):
+                arr[v] = t
+                changed = True
+    return arr
+
+
+def test_temporal_reachability_matches_python(spark):
+    from deeprank_spark.operators.paths import temporal_reachability
+
+    rng = random.Random(13)
+    edges = sorted(
+        {
+            (rng.randrange(20), rng.randrange(20), rng.randrange(100))
+            for _ in range(120)
+        }
+    )
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(e, source=0).collect()
+    }
+    start = min(t for (_, _, t) in edges)
+    assert got == _py_temporal(edges, 0, start)
+
+
+def test_temporal_reachability_respects_time(spark):
+    from deeprank_spark.operators.paths import temporal_reachability
+
+    # 1 -t5-> 2 -t3-> 3: the t3 edge fires BEFORE influence reaches 2, so
+    # 3 is unreachable; 2 -t7-> 4 works; same-ts chaining 4 -t7-> 5 works
+    # (non-decreasing); start_ts cuts off early edges
+    edges = [(1, 2, 5), (2, 3, 3), (2, 4, 7), (4, 5, 7), (9, 1, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(e, source=1).collect()
+    }
+    assert got == {1: 1, 2: 5, 4: 7, 5: 7}
+    # start_ts after the 1->2 edge: nothing reachable beyond the source
+    got2 = {
+        r["id"]: r["arrival"]
+        for r in temporal_reachability(e, source=1, start_ts=6).collect()
+    }
+    assert got2 == {1: 6}
+
+
+def test_temporal_reachability_checkpoint_resume(tmp_path, spark):
+    from deeprank_spark.operators.paths import temporal_reachability
+
+    rng = random.Random(29)
+    edges = sorted(
+        {
+            (rng.randrange(30), rng.randrange(30), rng.randrange(50))
+            for _ in range(200)
+        }
+    )
+    e = spark.createDataFrame(edges, "src long, dst long, ts long")
+    ck = str(tmp_path / "ck")
+    full = temporal_reachability(
+        e, source=0, checkpoint_dir=ck, run_id="full",
+        checkpoint_interval=2, return_run=True,
+    )
+    assert full.converged and full.rounds > 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="raise max_iter"):
+        temporal_reachability(
+            e, source=0, max_iter=2, checkpoint_dir=ck, run_id="part",
+            checkpoint_interval=2,
+        )
+    resumed = temporal_reachability(
+        e, source=0, checkpoint_dir=ck, run_id="part",
+        checkpoint_interval=2, resume=True, return_run=True,
+    )
+    a = {r["id"]: r["arrival"] for r in full.labels.collect()}
+    b = {r["id"]: r["arrival"] for r in resumed.labels.collect()}
+    assert a == b  # integer arrivals: exact
