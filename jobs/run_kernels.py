@@ -9,7 +9,7 @@ multi-executor cluster; only --master and the IO locations change):
         --master <cluster-or-local[N]> \
         --py-files dist/deeprank_spark.zip \
         jobs/run_kernels.py \
-        --kernel {pagerank,hits,eig,cc,lpa,scc,sssp,wsssp} \
+        --kernel {pagerank,hits,eig,cc,lpa,scc,sssp,wsssp,treach} \
         (--edges <parquet with src,dst[,w]> | --sf-dir <testdata dir>) \
         --out <parquet dir> \
         [--checkpoint-dir <dir> [--run-id <id>] [--resume]] \
@@ -59,7 +59,7 @@ def main() -> None:
     ap.add_argument(
         "--kernel",
         required=True,
-        choices=["pagerank", "hits", "eig", "cc", "lpa", "scc", "sssp", "wsssp"],
+        choices=["pagerank", "hits", "eig", "cc", "lpa", "scc", "sssp", "wsssp", "treach"],
     )
     ap.add_argument("--edges", default=None)
     ap.add_argument("--sf-dir", default=None)
@@ -89,7 +89,11 @@ def main() -> None:
     from deeprank_spark.operators.hits import eigenvector_distributed, hits_distributed
     from deeprank_spark.operators.labelprop import lpa_distributed
     from deeprank_spark.operators.pagerank import pagerank_distributed
-    from deeprank_spark.operators.paths import sssp_distributed, wsssp_distributed
+    from deeprank_spark.operators.paths import (
+        sssp_distributed,
+        temporal_reachability,
+        wsssp_distributed,
+    )
     from deeprank_spark.operators.scc import scc_distributed
 
     if args.sf_dir:
@@ -130,15 +134,21 @@ def main() -> None:
             "scc": scc_distributed,
             "sssp": sssp_distributed,
             "wsssp": wsssp_distributed,
+            "treach": temporal_reachability,
         }
         kw = dict(return_run=True, **durable)
         if args.max_iter:
             # scc's outer budget has its own name; the rest share max_iter
             kw["max_outer" if args.kernel == "scc" else "max_iter"] = args.max_iter
-        if args.kernel in ("sssp", "wsssp"):
+        if args.kernel in ("sssp", "wsssp", "treach"):
             if args.source is None:
                 ap.error(f"--source is required for --kernel {args.kernel}")
             kw["source"] = args.source
+        if args.kernel == "treach" and "ts" not in edges.columns:
+            ap.error(
+                "--kernel treach needs a 'ts' column; pass --edges with "
+                "(src, dst, ts) — the --sf-dir bipartite table has none"
+            )
         if args.kernel == "wsssp" and "w" not in edges.columns:
             ap.error(
                 "--kernel wsssp needs a 'w' weight column; the --sf-dir "
