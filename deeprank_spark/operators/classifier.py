@@ -94,6 +94,8 @@ def train_quality_classifier(
         .localCheckpoint(eager=True)
     )
     n_docs = docs_y.count()
+    if n_docs == 0:
+        raise ValueError("train_quality_classifier: empty training input")
     w: dict[int, float] = {}
     b = 0.0
     losses: list[float] = []

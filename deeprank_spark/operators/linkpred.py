@@ -152,10 +152,11 @@ def negative_edge_samples(
     re-draw loops are unbounded dataflow; the caller over-asks
     (per_vertex slightly above target) instead, the standard trick.
 
-    Scale shape: the indexed vertex list is one global sort (range
-    partitioning, paid once), candidates are an explode + one
-    co-partitioned join to resolve the index, and the exclusion is one
-    LEFT ANTI join against the observed edges on (src, dst).
+    Scale shape: the global vertex index is a two-pass parallel prefix
+    (range partitions -> broadcast per-partition offsets -> in-partition
+    row_number), never a single-partition window; candidates are an
+    explode + one join to resolve the index; exclusion is one LEFT ANTI
+    join against the observed edges on (src, dst).
     """
     if per_vertex < 1:
         raise ValueError(f"negative_edge_samples: per_vertex must be >= 1, got {per_vertex}")
@@ -166,10 +167,38 @@ def negative_edge_samples(
     verts = (
         e.select(F.col("s").alias("id")).union(e.select(F.col("d").alias("id"))).distinct()
     )
-    w = Window.orderBy("id")
-    indexed = verts.select(
-        "id", (F.row_number().over(w) - 1).alias("ix")
-    ).localCheckpoint(eager=True)
+    # global contiguous index WITHOUT a single-partition window (the
+    # pack_sequences two-pass parallel-prefix shape): range-partition by
+    # id, broadcast per-partition counts as prefix offsets, then an
+    # in-partition row_number. The resulting index is the global rank of
+    # id — fully value-determined regardless of the sampled range
+    # boundaries, so the draw stays reproducible across runs.
+    ranged = verts.repartitionByRange(F.col("id")).localCheckpoint(eager=True)
+    part_counts = (
+        ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    offsets = {}
+    run = 0
+    for r in sorted(part_counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = run
+        run += r["cnt"]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    # pid must be pinned as a real column first: nondeterministic-marked
+    # expressions (spark_partition_id) are not allowed inside a window
+    # partition spec directly
+    wp = Window.partitionBy("pid").orderBy("id")
+    indexed = (
+        ranged.withColumn("pid", F.spark_partition_id())
+        .select(
+            "id",
+            (F.row_number().over(wp) - 1 + omap[F.col("pid")]).alias("ix"),
+        )
+        .localCheckpoint(eager=True)
+    )
     nv = indexed.count()
     cand = indexed.select(
         F.col("id").alias("src"),

@@ -60,10 +60,14 @@ def incremental_components(
 
     forest_path = os.path.join(state_dir, "forest")
     e = batch_edges.select("src", "dst")
-    try:
+    # only a MISSING forest means "first batch" — any other read failure
+    # (corrupt file, permissions) must raise: silently restarting from an
+    # empty forest would drop every previously-seen component and emit
+    # wrong labels that look healthy
+    if os.path.isdir(forest_path):
         prev = spark.read.parquet(forest_path)
         union = prev.unionByName(e)
-    except Exception:
+    else:
         union = e
     labels = components_distributed(union).localCheckpoint(eager=True)
     new_forest = _star_forest(labels)
