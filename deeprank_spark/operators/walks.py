@@ -94,6 +94,10 @@ def random_walks(
         F.col("cur").alias("vertex"),
     )
     rdir = _ResetDir("walks")
+    # the final union re-executes each step's join chain from its last
+    # parquet reset (branches share no cached prefix), so total join work
+    # is bounded at ~2x the L steps (reset window 5) — the deliberate
+    # trade against persisting every step
     emitted = [out]
     for t in range(1, walk_length + 1):
         nxt = (
